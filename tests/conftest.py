@@ -1,0 +1,32 @@
+"""Test config: run JAX on CPU with 8 virtual devices so mesh/collective
+tests work without TPU hardware (SURVEY.md §4 multi-host testing strategy).
+
+Note: this environment preimports jax via sitecustomize with
+JAX_PLATFORMS=axon (a tunneled TPU), so the env-var route is too late —
+we must override through jax.config before any backend initialization.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+GOLDENS = os.path.join(os.path.dirname(__file__), "goldens")
+
+
+@pytest.fixture(scope="session")
+def goldens_dir():
+    return GOLDENS
+
+
+def load_golden(name):
+    return np.load(os.path.join(GOLDENS, name))
