@@ -27,10 +27,10 @@ from convolutional_codes_tpu.models.trellis import encoder_taps
 
 
 @functools.lru_cache(maxsize=None)
-def _host_tables(code: Code):
+def _host_tables(code: Code, length: int, terminate: bool):
     taps, qtaps = encoder_taps(code)
     K = code.constraint_length
-    T = code.num_block_symbols
+    T = length + (K - 1 if terminate else 0)
     # windows[t, j] = padded[t + K-1 - j] where padded has K-1 leading zeros
     idx = (K - 1) + np.arange(T)[:, None] - np.arange(K)[None, :]
     has_quirk = bool(qtaps.any())
@@ -51,14 +51,23 @@ def encode(code: Code, bits: jnp.ndarray) -> jnp.ndarray:
     Returns:
       ``[..., block_length + K - 1]`` int32 symbols in [0, 2^symlen_out).
     """
-    taps, qtaps, idx, has_quirk, weights = _host_tables(code)
-    L = code.block_length
+    if bits.shape[-1] != code.block_length:
+        raise ValueError(f"expected {code.block_length} info bits, "
+                         f"got {bits.shape[-1]}")
+    return encode_stream(code, bits, terminate=True)
+
+
+def encode_stream(code: Code, bits: jnp.ndarray, terminate: bool = True
+                  ) -> jnp.ndarray:
+    """Encode an arbitrary-length bit stream (streaming / long-frame mode —
+    no reference counterpart; the reference caps blocks at uint8 lengths,
+    SURVEY.md §2d).  ``terminate`` appends the K-1 zero tail flush."""
+    L = int(bits.shape[-1])
+    taps, qtaps, idx, has_quirk, weights = _host_tables(code, L, terminate)
     K = code.constraint_length
-    if bits.shape[-1] != L:
-        raise ValueError(f"expected {L} info bits, got {bits.shape[-1]}")
     bits = bits.astype(jnp.int32)
-    # K-1 leading zeros (empty register) + K-1 trailing zeros (tail flush).
-    pad = [(0, 0)] * (bits.ndim - 1) + [(K - 1, K - 1)]
+    # K-1 leading zeros (empty register) + optional K-1 tail-flush zeros.
+    pad = [(0, 0)] * (bits.ndim - 1) + [(K - 1, K - 1 if terminate else 0)]
     padded = jnp.pad(bits, pad)
     windows = padded[..., idx]                         # [..., T, K]
     counts = windows @ jnp.asarray(taps)               # [..., T, m]

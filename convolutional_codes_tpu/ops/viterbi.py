@@ -51,22 +51,25 @@ def hard_branch_metrics(code: Code, received: jnp.ndarray) -> jnp.ndarray:
     return table[received]
 
 
-def _acs_scan(trellis: Trellis, branch_metrics: jnp.ndarray, hard: bool
-              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Forward pass. branch_metrics: [B, T, 2^m] (float32 soft / int32 hard).
+def initial_metrics(trellis: Trellis, batch: int, hard: bool) -> jnp.ndarray:
+    """State-0-pinned start metrics (decoder_reset: state 0 → 0, rest INF)."""
+    S = trellis.num_states
+    if hard:
+        return jnp.full((batch, S), HARD_METRIC_SAT, jnp.int32).at[:, 0].set(0)
+    return jnp.full((batch, S), jnp.inf, jnp.float32).at[:, 0].set(0.0)
+
+
+def acs_forward(trellis: Trellis, branch_metrics: jnp.ndarray, hard: bool,
+                init: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Forward ACS pass from arbitrary start metrics (streaming handoff uses
+    non-default inits).  branch_metrics: [B, T, 2^m] (float32 / int32).
 
     Returns (final_metrics [B, S], decisions [T, B, S] int8).
     """
     S = trellis.num_states
     B = branch_metrics.shape[0]
     esym_prev = jnp.asarray(trellis.esym_prev)  # [S, 2]
-
-    if hard:
-        dtype = jnp.int32
-        init = jnp.full((B, S), HARD_METRIC_SAT, dtype).at[:, 0].set(0)
-    else:
-        dtype = jnp.float32
-        init = jnp.full((B, S), jnp.inf, dtype).at[:, 0].set(0.0)
+    dtype = jnp.int32 if hard else jnp.float32
 
     def step(metrics, bm_t):
         # Predecessor metrics: state ns = i*(S/2)+j has predecessors 2j, 2j+1
@@ -85,6 +88,13 @@ def _acs_scan(trellis: Trellis, branch_metrics: jnp.ndarray, hard: bool
     return final_metrics, decisions
 
 
+def _acs_scan(trellis: Trellis, branch_metrics: jnp.ndarray, hard: bool
+              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    B = branch_metrics.shape[0]
+    return acs_forward(trellis, branch_metrics, hard,
+                       initial_metrics(trellis, B, hard))
+
+
 def _traceback(trellis: Trellis, final_metrics: jnp.ndarray,
                decisions: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Trace from the global-min end state. Returns (bits [B, T], min_metric [B])."""
@@ -101,6 +111,38 @@ def _traceback(trellis: Trellis, final_metrics: jnp.ndarray,
 
     _, bits = jax.lax.scan(tb_step, end_state, decisions, reverse=True)
     return jnp.swapaxes(bits, 0, 1), min_metric            # [B, T]
+
+
+def traceback_from(trellis: Trellis, decisions: jnp.ndarray,
+                   start_states: jnp.ndarray,
+                   start_index=None) -> jnp.ndarray:
+    """Traceback from explicit per-frame start states.
+
+    ``decisions``: [T, B, S]; ``start_states``: [B].  If ``start_index`` is
+    given ([B] or scalar), steps with t >= start_index are no-ops — used by
+    the streaming decoder whose last time-block starts its traceback before
+    the (absent) right halo.  Returns bits [B, T] (entries at t >=
+    start_index are garbage and must be discarded by the caller).
+    """
+    T = decisions.shape[0]
+    prev_state = jnp.asarray(trellis.prev_state)
+    input_of = jnp.asarray(trellis.input_of)
+    cur0 = start_states.astype(jnp.int32)
+
+    def tb_step(cur, xs):
+        dec_t, t = xs
+        b = jnp.take_along_axis(dec_t, cur[:, None], axis=1)[:, 0].astype(jnp.int32)
+        bit = input_of[cur]
+        prev = prev_state[cur, b]
+        if start_index is not None:
+            live = t < start_index
+            prev = jnp.where(live, prev, cur)
+        return prev, bit
+
+    _, bits = jax.lax.scan(tb_step, cur0,
+                           (decisions, np.arange(T, dtype=np.int32)),
+                           reverse=True)
+    return jnp.swapaxes(bits, 0, 1)
 
 
 def viterbi_decode_soft(code: Code, distances: jnp.ndarray) -> jnp.ndarray:

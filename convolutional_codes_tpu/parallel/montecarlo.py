@@ -1,0 +1,107 @@
+"""Sharded on-device Monte-Carlo accumulation.
+
+The reference runs one block at a time in a host loop and accumulates error
+counters in C variables (``AWGN-channel/main.c:212-233``).  Here the whole
+accumulation lives on device: a ``lax.scan`` over steps (one compiled
+program, no per-step dispatch), optionally wrapped in ``shard_map`` over the
+``frames`` mesh axis with a ``psum`` reduction of the counters, and over the
+``sweep`` axis with per-group channel parameters.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+#: (key, param) -> (bit_errors, frame_errors, bits) — see sim.chain.StepFn.
+StepFn = Callable
+
+
+def _scan_steps(step: StepFn, nsteps: int):
+    """(key, param) → summed (bit_errors, frame_errors, bits) over nsteps."""
+
+    def run(key, param):
+        def body(carry, i):
+            be, fe, nb = step(jax.random.fold_in(key, i), param)
+            return (carry[0] + be, carry[1] + fe, carry[2] + nb), None
+
+        init = (jnp.int32(0), jnp.int32(0), jnp.int32(0))
+        # xs as a host numpy constant: a jnp.arange here would be a committed
+        # device array whose lowering-time embedding forces a device->host
+        # readback (~1 min on the tunneled backend).
+        out, _ = jax.lax.scan(body, init, np.arange(nsteps, dtype=np.int32))
+        return out
+
+    return run
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _accumulate_single(step: StepFn, nsteps: int, key, param):
+    return _scan_steps(step, nsteps)(key, param)
+
+
+@lru_cache(maxsize=None)
+def _sharded_runner(step: StepFn, nsteps: int, mesh: Mesh):
+    fa = "frames"
+
+    @jax.jit
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(fa), P()), out_specs=P(), check_vma=False)
+    def run(local_keys, p):
+        be, fe, nb = _scan_steps(step, nsteps)(local_keys[0], p)
+        return tuple(jax.lax.psum(x, fa) for x in (be, fe, nb))
+
+    return run
+
+
+def sharded_accumulate(step: StepFn, nsteps: int, key: jax.Array, param,
+                       mesh: Optional[Mesh] = None) -> Tuple[int, int, int]:
+    """Run ``nsteps`` accumulation steps of ``step`` at one sweep point.
+
+    Without a mesh: single-device scan.  With a mesh containing a ``frames``
+    axis: every device along it runs ``nsteps`` with an independent key and
+    the counters are psum-reduced, so total simulated bits scale with the
+    axis size.  Returns Python ints.
+    """
+    if mesh is None or "frames" not in mesh.axis_names:
+        be, fe, nb = _accumulate_single(step, nsteps, key, param)
+        return int(be), int(fe), int(nb)
+
+    keys = jax.random.split(key, mesh.shape["frames"])
+    run = _sharded_runner(step, nsteps, mesh)
+    be, fe, nb = run(keys, jnp.asarray(param, jnp.float32))
+    return int(be), int(fe), int(nb)
+
+
+def sweep_grid_accumulate(step: StepFn, nsteps: int, key: jax.Array,
+                          params: jnp.ndarray, mesh: Mesh) -> Tuple[jnp.ndarray, ...]:
+    """2-D sharding: points split over the ``sweep`` axis, frames over
+    ``frames``.  ``params``: [R] channel parameters, R divisible by the sweep
+    axis size.  Returns per-point (bit_errors, frame_errors, bits) arrays [R].
+    Used by the multi-chip dry-run / full-slice sweeps with uniform step
+    counts per point.
+    """
+    sa, fa = "sweep", "frames"
+    assert sa in mesh.axis_names and fa in mesh.axis_names
+    R = params.shape[0]
+    keys = jax.random.split(key, R * mesh.shape[fa])
+    keys = keys.reshape(R, mesh.shape[fa], *keys.shape[1:])
+
+    @jax.jit
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(sa, fa), P(sa)), out_specs=P(sa),
+             check_vma=False)
+    def run(local_keys, local_params):
+        def per_point(k, p):
+            return _scan_steps(step, nsteps)(k, p)
+
+        be, fe, nb = jax.vmap(per_point)(local_keys[:, 0], local_params)
+        return (jax.lax.psum(be, fa), jax.lax.psum(fe, fa), jax.lax.psum(nb, fa))
+
+    return run(keys, jnp.asarray(params, jnp.float32))

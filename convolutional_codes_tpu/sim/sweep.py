@@ -1,0 +1,191 @@
+"""Monte-Carlo BER/FER sweep runner with tiered sample counts.
+
+Mirrors the reference drivers' sweep behavior (SNR grid and adaptive sample
+tiers, ``AWGN-channel/main.c:150-211``; crossover grid and tiers,
+``binary-symmetric-channel/main.c:103-156``) as a structured, resumable,
+mesh-shardable runner producing per-point records
+{code, channel, decoder, demapper, point, bits, errors, BER, FER, wall time,
+throughput} — the observability the reference only printf'd (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from typing import List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from convolutional_codes_tpu.models.codebook import Code, get_code
+from convolutional_codes_tpu.ops.channels import awgn_sigma
+from convolutional_codes_tpu.ops.fano import FANO_TIMEOUT
+from convolutional_codes_tpu.parallel.mesh import frames_axis_size
+from convolutional_codes_tpu.parallel.montecarlo import sharded_accumulate
+from convolutional_codes_tpu.sim.chain import make_point_step, make_uncoded_step
+
+#: Default Eb/N0 grid in dB (AWGN-channel/main.c:150-152).
+AWGN_SNR_GRID = (0.0, 2.0, 4.0, 6.0, 8.0, 10.0, 12.0, 14.0)
+
+#: Default crossover grid (binary-symmetric-channel/main.c:103-109).
+BSC_CROSSOVER_GRID = tuple(r / 1e6 for r in (
+    1, 5, 25, 125, 625, 3125, 6250, 12500, 15625, 25000, 50000,
+    78125, 100000, 200000, 300000, 390625, 400000))
+
+
+def awgn_tier_bits(snr_db: float, base_bits: float = 8e8) -> int:
+    """Adaptive sample tiers: /10 at <=10, <=6, <=4 dB cumulatively
+    (AWGN-channel/main.c:202-211)."""
+    bits = base_bits
+    if snr_db <= 4.0:
+        bits /= 10
+    if snr_db <= 6.0:
+        bits /= 10
+    if snr_db <= 10.0:
+        bits /= 10
+    return int(bits)
+
+
+def bsc_tier_bits(crossover: float, base_bits: float = 8e8) -> int:
+    """Tiers: /10 above p=0.0125, 0.05, 0.2 cumulatively
+    (binary-symmetric-channel/main.c:147-156)."""
+    bits = base_bits
+    if crossover > 0.0125:
+        bits /= 10
+    if crossover > 0.05:
+        bits /= 10
+    if crossover > 0.2:
+        bits /= 10
+    return int(bits)
+
+
+@dataclasses.dataclass
+class SweepSpec:
+    """Full configuration of one sweep (the config surface the reference
+    scattered over CMake component selection + argv, SURVEY.md §5)."""
+
+    code: object = 0                      # registry key or Code
+    channel: str = "awgn"                 # awgn | bsc | uncoded
+    decoder: str = "viterbi"              # viterbi | stack | fano
+    demapper: str = "soft"                # soft | hard
+    points: Optional[Sequence[float]] = None   # Eb/N0 dB or crossover probs
+    frames_per_step: int = 4096
+    bits_per_point: Optional[float] = None     # override tiering
+    base_bits: float = 8e8                # tier base (reference default)
+    seed: int = 0
+    timeout_per_bit: int = FANO_TIMEOUT
+
+    def resolve_code(self) -> Code:
+        return self.code if isinstance(self.code, Code) else get_code(self.code)
+
+    def resolve_points(self) -> Sequence[float]:
+        if self.points is not None:
+            return tuple(self.points)
+        return AWGN_SNR_GRID if self.channel in ("awgn", "uncoded") else BSC_CROSSOVER_GRID
+
+
+@dataclasses.dataclass
+class PointRecord:
+    code: str
+    channel: str
+    decoder: str
+    demapper: str
+    point: float            # Eb/N0 dB (awgn/uncoded) or crossover prob (bsc)
+    param: float            # sigma or crossover actually applied
+    bits: int
+    bit_errors: int
+    frame_errors: int
+    frames: int
+    ber: float
+    fer: float
+    wall_s: float
+    bits_per_s: float
+
+    def to_dict(self):
+        return dataclasses.asdict(self)
+
+
+def run_sweep(spec: SweepSpec, mesh=None, checkpoint_path: Optional[str] = None,
+              verbose: bool = True) -> List[PointRecord]:
+    """Run the sweep, optionally sharded over ``mesh`` ('frames' axis) and
+    resumable via a JSON checkpoint of per-point counters (the reference has
+    no resume story — every block is independent, so (seed, counters) is the
+    complete state, SURVEY.md §5)."""
+    code = spec.resolve_code()
+    points = spec.resolve_points()
+    ndev = frames_axis_size(mesh)
+
+    if spec.channel == "uncoded":
+        step = make_uncoded_step(code.symlen_out, spec.frames_per_step)
+        frame_bits = code.symlen_out
+        frames = spec.frames_per_step
+        tier = lambda p: awgn_tier_bits(p, spec.base_bits)
+        to_param = lambda p: float(awgn_sigma(p, info_bits_per_symbol=code.symlen_out))
+    else:
+        step = make_point_step(code, spec.channel, spec.decoder, spec.demapper,
+                               spec.frames_per_step, spec.timeout_per_bit)
+        frame_bits = code.block_length
+        frames = spec.frames_per_step
+        if spec.channel == "awgn":
+            tier = lambda p: awgn_tier_bits(p, spec.base_bits)
+            to_param = lambda p: float(awgn_sigma(p))
+        else:
+            tier = lambda p: bsc_tier_bits(p, spec.base_bits)
+            to_param = lambda p: float(p)
+
+    done_points = {}
+    if checkpoint_path:
+        try:
+            with open(checkpoint_path) as f:
+                done_points = {float(k): v for k, v in json.load(f).items()}
+        except FileNotFoundError:
+            pass
+
+    records: List[PointRecord] = []
+    key = jax.random.PRNGKey(spec.seed)
+    bits_per_call = frames * frame_bits * ndev
+
+    for i, point in enumerate(points):
+        pkey = jax.random.fold_in(key, i)
+        target_bits = int(spec.bits_per_point or tier(point))
+        nsteps = max(1, -(-target_bits // bits_per_call))
+        param = to_param(point)
+
+        if point in done_points:
+            d = done_points[point]
+            records.append(PointRecord(**d))
+            continue
+
+        t0 = time.time()
+        # chunk scans so int32 counters cannot overflow and dispatches stay
+        # reasonably sized
+        chunk = max(1, min(nsteps, max(1, (1 << 30) // max(1, frames * frame_bits))))
+        be = fe = nb = 0
+        left = nsteps
+        ci = 0
+        while left > 0:
+            n = min(chunk, left)
+            cbe, cfe, cnb = sharded_accumulate(
+                step, n, jax.random.fold_in(pkey, ci), param, mesh)
+            be += cbe; fe += cfe; nb += cnb
+            left -= n; ci += 1
+        wall = time.time() - t0
+
+        rec = PointRecord(
+            code=code.name, channel=spec.channel, decoder=spec.decoder,
+            demapper=spec.demapper, point=float(point), param=param,
+            bits=nb, bit_errors=be, frame_errors=fe,
+            frames=nb // frame_bits, ber=be / nb, fer=fe / (nb // frame_bits),
+            wall_s=wall, bits_per_s=nb / wall if wall > 0 else float("inf"))
+        records.append(rec)
+        if verbose:
+            print(f"[{spec.channel}/{spec.decoder}/{spec.demapper} {code.name}] "
+                  f"point={point:g} bits={nb:.3g} BER={rec.ber:.6e} "
+                  f"FER={rec.fer:.3e} {rec.bits_per_s:.3e} bits/s", flush=True)
+        if checkpoint_path:
+            done_points[point] = rec.to_dict()
+            with open(checkpoint_path, "w") as f:
+                json.dump({str(k): v for k, v in done_points.items()}, f)
+
+    return records

@@ -1,0 +1,67 @@
+"""Time-block streaming Viterbi vs monolithic decode (SURVEY §7 step 8)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from convolutional_codes_tpu.models.codebook import get_code
+from convolutional_codes_tpu.ops.channels import awgn, awgn_sigma
+from convolutional_codes_tpu.ops.demapper import soft_demap
+from convolutional_codes_tpu.ops.encoder import encode_stream
+from convolutional_codes_tpu.ops.mapper import map_symbols
+from convolutional_codes_tpu.parallel.mesh import make_mesh
+from convolutional_codes_tpu.parallel.streaming import (
+    streaming_viterbi_decode, monolithic_reference_decode, dryrun_streaming)
+
+
+def _noisy_frame(code, B, L, snr_db, seed):
+    key = jax.random.PRNGKey(seed)
+    kb, kn = jax.random.split(key)
+    bits = jax.random.bernoulli(kb, 0.5, (B, L)).astype(jnp.int32)
+    syms = encode_stream(code, bits, terminate=True)
+    iq = map_symbols(code, syms)
+    rx = awgn(kn, iq, awgn_sigma(snr_db))
+    return bits, soft_demap(code.symlen_out, rx)
+
+
+def test_encode_stream_long_frame_matches_blockwise_structure():
+    code = get_code("nasa-k7")
+    bits = np.zeros((1, 1000), np.int32)
+    syms = np.asarray(encode_stream(code, jnp.asarray(bits)))
+    assert syms.shape == (1, 1006)
+    assert np.all(syms == 0)
+
+
+@pytest.mark.parametrize("snr_db", [2.0, 6.0])
+def test_streaming_matches_monolithic(snr_db):
+    code = get_code("nasa-k7")
+    D = 4
+    T = D * 256
+    L = T - (code.constraint_length - 1)
+    bits, dists = _noisy_frame(code, B=2, L=L, snr_db=snr_db, seed=3)
+    mono = np.asarray(monolithic_reference_decode(code, dists))
+    mesh = make_mesh({"seq": D}, devices=jax.devices()[:D])
+    stream = np.asarray(streaming_viterbi_decode(code, dists, mesh, warmup=96))
+    assert np.array_equal(stream, mono), (
+        f"{(stream != mono).sum()} mismatches of {mono.size}")
+
+
+def test_streaming_decodes_noiseless_exactly():
+    dryrun_streaming(8)
+
+
+def test_streaming_ber_reasonable_at_low_snr():
+    """Even when boundary effects could bite, BER must track monolithic."""
+    code = get_code("nasa-k7")
+    D = 8
+    T = D * 128
+    L = T - (code.constraint_length - 1)
+    bits, dists = _noisy_frame(code, B=2, L=L, snr_db=1.0, seed=9)
+    mono = np.asarray(monolithic_reference_decode(code, dists))[:, :L]
+    mesh = make_mesh({"seq": D})
+    stream = np.asarray(streaming_viterbi_decode(code, dists, mesh, warmup=96))[:, :L]
+    b = np.asarray(bits)
+    ber_mono = (mono != b).mean()
+    ber_stream = (stream != b).mean()
+    assert abs(ber_stream - ber_mono) < 0.01, (ber_stream, ber_mono)

@@ -1,0 +1,110 @@
+"""Sweep harness: statistical BER checks, mesh sharding, resume, output."""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from convolutional_codes_tpu.parallel.mesh import make_mesh
+from convolutional_codes_tpu.parallel.montecarlo import sweep_grid_accumulate
+from convolutional_codes_tpu.sim.chain import make_point_step
+from convolutional_codes_tpu.sim.sweep import (
+    SweepSpec, run_sweep, awgn_tier_bits, bsc_tier_bits)
+from convolutional_codes_tpu.utils.records import octave_rows, write_jsonl
+
+
+def binomial_ok(errors, bits, p_expected, z=4.0):
+    """|observed - expected| within z sigma of the binomial count."""
+    sigma = np.sqrt(bits * p_expected * (1 - p_expected))
+    return abs(errors - bits * p_expected) <= z * sigma + 1
+
+
+def test_tiering_matches_reference():
+    assert awgn_tier_bits(0.0) == 8e5 and awgn_tier_bits(4.0) == 8e5
+    assert awgn_tier_bits(6.0) == 8e6
+    assert awgn_tier_bits(8.0) == 8e7 and awgn_tier_bits(10.0) == 8e7
+    assert awgn_tier_bits(12.0) == 8e8
+    assert bsc_tier_bits(0.0125) == 8e8
+    assert bsc_tier_bits(0.05) == 8e7
+    assert bsc_tier_bits(0.2) == 8e6
+    assert bsc_tier_bits(0.4) == 8e5
+
+
+def test_bsc_golden_point_statistical():
+    """Code 0 hard Viterbi at p=0.0125 → published BER 9.545e-3
+    (results/binary_symmetric_channel.m:5)."""
+    spec = SweepSpec(code=0, channel="bsc", decoder="viterbi",
+                     points=[0.0125], frames_per_step=2048,
+                     bits_per_point=2e6, seed=123)
+    (r,) = run_sweep(spec, verbose=False)
+    assert binomial_ok(r.bit_errors, r.bits, 9.545e-3), r.ber
+
+
+def test_uncoded_qpsk_closed_form():
+    """Uncoded QPSK at 4 dB: published 1.2494e-2 (awgn_channel.m:5),
+    closed form Q(sqrt(2*Eb/N0)) = 1.25e-2."""
+    spec = SweepSpec(code=0, channel="uncoded", points=[4.0],
+                     frames_per_step=1 << 15, bits_per_point=2e6, seed=5)
+    (r,) = run_sweep(spec, verbose=False)
+    assert binomial_ok(r.bit_errors, r.bits, 1.2494e-2), r.ber
+
+
+def test_sharded_sweep_matches_unsharded_scale():
+    """psum-aggregated counters over an 8-device frames mesh simulate 8x the
+    bits and stay statistically consistent."""
+    mesh = make_mesh({"frames": 8})
+    spec = SweepSpec(code=0, channel="bsc", decoder="viterbi",
+                     points=[0.05], frames_per_step=256,
+                     bits_per_point=8 * 256 * 40 * 4, seed=7)
+    (r,) = run_sweep(spec, mesh=mesh, verbose=False)
+    assert r.bits == 8 * 256 * 40 * 4
+    assert binomial_ok(r.bit_errors, r.bits, 0.1208)
+
+
+def test_sweep_grid_two_axis_mesh():
+    mesh = make_mesh({"sweep": 2, "frames": 4})
+    code_step = make_point_step(
+        __import__("convolutional_codes_tpu").get_code(0),
+        "bsc", "viterbi", "soft", frames=128)
+    params = np.array([0.0125, 0.05], np.float32)
+    be, fe, nb = sweep_grid_accumulate(code_step, 2, jax.random.PRNGKey(0),
+                                       params, mesh)
+    be, nb = np.asarray(be), np.asarray(nb)
+    assert be.shape == (2,) and np.all(nb == 128 * 40 * 2 * 4)
+    assert be[1] > be[0]  # worse channel, more errors
+
+
+def test_checkpoint_resume(tmp_path):
+    ck = str(tmp_path / "ck.json")
+    spec = SweepSpec(code=0, channel="bsc", decoder="viterbi",
+                     points=[0.05, 0.1], frames_per_step=128,
+                     bits_per_point=128 * 40 * 2, seed=9)
+    first = run_sweep(spec, checkpoint_path=ck, verbose=False)
+    with open(ck) as f:
+        assert len(json.load(f)) == 2
+    second = run_sweep(spec, checkpoint_path=ck, verbose=False)
+    assert [r.to_dict() for r in first] == [r.to_dict() for r in second]
+
+
+def test_records_output(tmp_path):
+    spec = SweepSpec(code=0, channel="bsc", decoder="viterbi",
+                     points=[0.1], frames_per_step=128,
+                     bits_per_point=128 * 40, seed=1)
+    recs = run_sweep(spec, verbose=False)
+    out = octave_rows(recs, "test_var")
+    assert "test_var = [" in out and "x_test_var = [0.1]" in out
+    p = str(tmp_path / "r.jsonl")
+    write_jsonl(recs, p)
+    row = json.loads(open(p).read().splitlines()[0])
+    assert row["channel"] == "bsc" and row["bits"] == 128 * 40
+
+
+def test_cli_end_to_end(tmp_path, capsys):
+    from convolutional_codes_tpu.sim.cli import main
+    oct_path = str(tmp_path / "o.m")
+    rc = main(["bsc", "--code", "0", "--points", "0.1", "--frames", "64",
+               "--bits-per-point", "2560", "--octave", oct_path])
+    assert rc == 0
+    assert os.path.exists(oct_path)
