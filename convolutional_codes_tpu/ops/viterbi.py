@@ -10,13 +10,17 @@ Reference semantics (soft: ``AWGN-channel/viterbi-decoder.c``, hard:
   * full-block traceback from the global-minimum end state (traceback();
     the reference does NOT force end state 0 despite tail termination).
 
-TPU formulation: the trellis butterfly makes ACS a dense
-``[batch, states, 2]`` min-reduce — metrics of the two predecessors of every
-new state are just the even/odd interleave of the metric vector (a reshape,
-no gather), and branch metrics are a tiny gather from the ``2^m``-entry
-distance vector via precomputed ``esym_prev`` tables.  The scan over symbols
-is ``lax.scan``; decisions (one predecessor bit per new state) are stacked as
-``[T, batch, S]`` and traced back with a reverse scan of per-frame gathers.
+TPU-first data layout (this is where the throughput comes from):
+  * metrics live as ``[S, B]`` — the batch fills the 128-wide VPU lanes,
+    states sit in sublanes.  The butterfly's predecessor pick and the
+    branch-metric lookup are *static row permutations* of ``[S, B]`` /
+    ``[2^m, B]`` arrays (the trellis is compile-time data), so one ACS step
+    is a handful of fused elementwise adds/mins — no gathers at all.
+  * decisions are bit-packed along the state axis into int32 lanes
+    (``[T, ceil(S/32), B]``), 8x less HBM traffic than byte decisions at
+    K=7, and traceback needs no gather either: extracting the survivor bit
+    for the current state is a per-lane variable shift, and the state
+    recurrence ``prev = 2*(cur mod S/2) + bit`` is integer lane math.
 """
 
 from __future__ import annotations
@@ -52,97 +56,115 @@ def hard_branch_metrics(code: Code, received: jnp.ndarray) -> jnp.ndarray:
 
 
 def initial_metrics(trellis: Trellis, batch: int, hard: bool) -> jnp.ndarray:
-    """State-0-pinned start metrics (decoder_reset: state 0 → 0, rest INF)."""
+    """State-0-pinned start metrics (decoder_reset: state 0 → 0, rest INF).
+    Frame-major ``[B, S]`` (the public convention; transposed internally)."""
     S = trellis.num_states
     if hard:
         return jnp.full((batch, S), HARD_METRIC_SAT, jnp.int32).at[:, 0].set(0)
     return jnp.full((batch, S), jnp.inf, jnp.float32).at[:, 0].set(0.0)
 
 
+def _packing(num_states: int) -> int:
+    return (num_states + 31) // 32
+
+
 def acs_forward(trellis: Trellis, branch_metrics: jnp.ndarray, hard: bool,
                 init: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Forward ACS pass from arbitrary start metrics (streaming handoff uses
-    non-default inits).  branch_metrics: [B, T, 2^m] (float32 / int32).
+    non-default inits).  branch_metrics: [B, T, 2^m]; init: [B, S].
 
-    Returns (final_metrics [B, S], decisions [T, B, S] int8).
+    Returns (final_metrics [B, S],
+             decisions [T, ceil(S/32), B] int32 — bit s of word s//32 is the
+             chosen-predecessor bit of new state s).
     """
     S = trellis.num_states
-    B = branch_metrics.shape[0]
-    esym_prev = jnp.asarray(trellis.esym_prev)  # [S, 2]
+    nwords = _packing(S)
     dtype = jnp.int32 if hard else jnp.float32
 
-    def step(metrics, bm_t):
-        # Predecessor metrics: state ns = i*(S/2)+j has predecessors 2j, 2j+1
-        # — the even/odd interleave, identical for both input halves.
-        pm = metrics.reshape(B, S // 2, 2)                  # [B, S/2, 2]
-        pm = jnp.concatenate([pm, pm], axis=1)              # [B, S, 2]
-        bm = bm_t[:, esym_prev].astype(dtype)               # [B, S, 2]
-        cand = pm + bm
+    # static row-permutation tables
+    prev0 = np.asarray(trellis.prev_state[:, 0])      # even predecessors, [S]
+    prev1 = np.asarray(trellis.prev_state[:, 1])
+    esym0 = np.asarray(trellis.esym_prev[:, 0])       # [S]
+    esym1 = np.asarray(trellis.esym_prev[:, 1])
+    # bit-packing: state s contributes bit (s % 32) of word s // 32
+    pad_states = nwords * 32 - S
+    bit_weight = jnp.asarray(
+        (np.uint32(1) << np.arange(32, dtype=np.uint32))[None, :, None])
+
+    bm_tmb = jnp.swapaxes(branch_metrics.astype(dtype), 0, 1)   # [T, B, 2^m]
+    bm_tmb = jnp.swapaxes(bm_tmb, 1, 2)                         # [T, 2^m, B]
+
+    def step(metrics, bm_t):                                    # [S,B], [2^m,B]
+        cand0 = metrics[prev0] + bm_t[esym0]                    # [S, B]
+        cand1 = metrics[prev1] + bm_t[esym1]
         if hard:
-            cand = jnp.minimum(cand, HARD_METRIC_SAT)
-        dec = jnp.argmin(cand, axis=-1).astype(jnp.int8)    # first-wins ties
-        new_metrics = jnp.min(cand, axis=-1)
-        return new_metrics, dec
+            cand0 = jnp.minimum(cand0, HARD_METRIC_SAT)
+            cand1 = jnp.minimum(cand1, HARD_METRIC_SAT)
+        dec = cand1 < cand0                                     # strict: ties → 0
+        new_metrics = jnp.where(dec, cand1, cand0)
+        bits = dec.astype(jnp.uint32)                           # [S, B]
+        if pad_states:
+            bits = jnp.pad(bits, ((0, pad_states), (0, 0)))
+        packed = (bits.reshape(nwords, 32, -1) * bit_weight).sum(axis=1,
+                                                                 dtype=jnp.uint32)
+        return new_metrics, packed.astype(jnp.int32)
 
-    final_metrics, decisions = jax.lax.scan(step, init, jnp.swapaxes(branch_metrics, 0, 1))
-    return final_metrics, decisions
-
-
-def _acs_scan(trellis: Trellis, branch_metrics: jnp.ndarray, hard: bool
-              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    B = branch_metrics.shape[0]
-    return acs_forward(trellis, branch_metrics, hard,
-                       initial_metrics(trellis, B, hard))
-
-
-def _traceback(trellis: Trellis, final_metrics: jnp.ndarray,
-               decisions: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Trace from the global-min end state. Returns (bits [B, T], min_metric [B])."""
-    prev_state = jnp.asarray(trellis.prev_state)   # [S, 2]
-    input_of = jnp.asarray(trellis.input_of)       # [S]
-    end_state = jnp.argmin(final_metrics, axis=-1).astype(jnp.int32)  # [B]
-    min_metric = jnp.min(final_metrics, axis=-1)
-
-    def tb_step(cur, dec_t):
-        b = jnp.take_along_axis(dec_t, cur[:, None], axis=1)[:, 0].astype(jnp.int32)
-        bit = input_of[cur]
-        prev = prev_state[cur, b]
-        return prev, bit
-
-    _, bits = jax.lax.scan(tb_step, end_state, decisions, reverse=True)
-    return jnp.swapaxes(bits, 0, 1), min_metric            # [B, T]
+    final_metrics, decisions = jax.lax.scan(step, init.T, bm_tmb)
+    return final_metrics.T, decisions
 
 
 def traceback_from(trellis: Trellis, decisions: jnp.ndarray,
                    start_states: jnp.ndarray,
                    start_index=None) -> jnp.ndarray:
-    """Traceback from explicit per-frame start states.
+    """Gather-free traceback from explicit per-frame start states.
 
-    ``decisions``: [T, B, S]; ``start_states``: [B].  If ``start_index`` is
-    given ([B] or scalar), steps with t >= start_index are no-ops — used by
-    the streaming decoder whose last time-block starts its traceback before
-    the (absent) right halo.  Returns bits [B, T] (entries at t >=
-    start_index are garbage and must be discarded by the caller).
+    ``decisions``: packed [T, nwords, B]; ``start_states``: [B].  If
+    ``start_index`` is given, steps with t >= start_index are no-ops (used
+    by the streaming decoder).  Returns bits [B, T].
     """
     T = decisions.shape[0]
-    prev_state = jnp.asarray(trellis.prev_state)
-    input_of = jnp.asarray(trellis.input_of)
-    cur0 = start_states.astype(jnp.int32)
+    S = trellis.num_states
+    K = trellis.code.constraint_length
+    half_mask = (S >> 1) - 1
+    cur0 = start_states.astype(jnp.uint32)
 
     def tb_step(cur, xs):
-        dec_t, t = xs
-        b = jnp.take_along_axis(dec_t, cur[:, None], axis=1)[:, 0].astype(jnp.int32)
-        bit = input_of[cur]
-        prev = prev_state[cur, b]
+        dec_t, t = xs                                  # [nwords, B], scalar
+        nwords = decisions.shape[1]
+        if nwords == 1:
+            word = dec_t[0].astype(jnp.uint32)
+        elif nwords <= 4:
+            # static-row where-chain — no gather
+            idx = (cur >> 5).astype(jnp.uint32)
+            word = dec_t[0].astype(jnp.uint32)
+            for w in range(1, nwords):
+                word = jnp.where(idx == w, dec_t[w].astype(jnp.uint32), word)
+        else:
+            idx = (cur >> 5).astype(jnp.int32)         # word index per lane
+            word = jnp.take_along_axis(
+                dec_t.astype(jnp.uint32), idx[None, :], axis=0)[0]
+        b = (word >> (cur & 31)) & 1
+        bit = (cur >> (K - 2)).astype(jnp.int32)       # input into cur
+        prev = ((cur & half_mask) << 1) | b
         if start_index is not None:
-            live = t < start_index
-            prev = jnp.where(live, prev, cur)
+            prev = jnp.where(t < start_index, prev, cur)
         return prev, bit
 
     _, bits = jax.lax.scan(tb_step, cur0,
                            (decisions, np.arange(T, dtype=np.int32)),
                            reverse=True)
     return jnp.swapaxes(bits, 0, 1)
+
+
+def _decode(trellis: Trellis, bm: jnp.ndarray, hard: bool
+            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    B = bm.shape[0]
+    final_metrics, decisions = acs_forward(
+        trellis, bm, hard, initial_metrics(trellis, B, hard))
+    end_state = jnp.argmin(final_metrics, axis=-1)     # first-wins ties
+    min_metric = jnp.min(final_metrics, axis=-1)
+    bits = traceback_from(trellis, decisions, end_state)
+    return bits, min_metric
 
 
 def viterbi_decode_soft(code: Code, distances: jnp.ndarray) -> jnp.ndarray:
@@ -155,8 +177,7 @@ def viterbi_decode_soft(code: Code, distances: jnp.ndarray) -> jnp.ndarray:
       ``[B, block_len]`` decoded info bits (tail stripped).
     """
     trellis = build_trellis(code)
-    final_metrics, decisions = _acs_scan(trellis, distances.astype(jnp.float32), hard=False)
-    bits, _ = _traceback(trellis, final_metrics, decisions)
+    bits, _ = _decode(trellis, distances.astype(jnp.float32), hard=False)
     return bits[:, : code.block_length].astype(jnp.int32)
 
 
@@ -173,6 +194,5 @@ def viterbi_decode_hard(code: Code, received: jnp.ndarray
     """
     trellis = build_trellis(code)
     bm = hard_branch_metrics(code, received)
-    final_metrics, decisions = _acs_scan(trellis, bm, hard=True)
-    bits, metric = _traceback(trellis, final_metrics, decisions)
+    bits, metric = _decode(trellis, bm, hard=True)
     return bits[:, : code.block_length].astype(jnp.int32), metric
