@@ -57,6 +57,25 @@ def encode(code: Code, bits: jnp.ndarray) -> jnp.ndarray:
     return encode_stream(code, bits, terminate=True)
 
 
+def encode_tb(code: Code, bits_lb: jnp.ndarray, terminate: bool = True
+              ) -> jnp.ndarray:
+    """Lane-major encode: bits [L, B] → symbols [T, B] (batch stays in the
+    TPU lane dimension end-to-end; no transposes on the hot path)."""
+    L = int(bits_lb.shape[0])
+    taps, qtaps, idx, has_quirk, weights = _host_tables(code, L, terminate)
+    K = code.constraint_length
+    bits_lb = bits_lb.astype(jnp.int32)
+    pad = [(K - 1, K - 1 if terminate else 0)] + [(0, 0)] * (bits_lb.ndim - 1)
+    padded = jnp.pad(bits_lb, pad)
+    windows = padded[idx]                               # [T, K, B]
+    counts = jnp.einsum("km,tkb->tmb", jnp.asarray(taps), windows)
+    out_bits = counts & 1
+    if has_quirk:
+        qcounts = jnp.einsum("km,tkb->tmb", jnp.asarray(qtaps), windows)
+        out_bits = out_bits * (1 - (qcounts & 1))
+    return (out_bits * jnp.asarray(weights)[None, :, None]).sum(1).astype(jnp.int32)
+
+
 def encode_stream(code: Code, bits: jnp.ndarray, terminate: bool = True
                   ) -> jnp.ndarray:
     """Encode an arbitrary-length bit stream (streaming / long-frame mode —

@@ -40,13 +40,17 @@ _TWO_PI = 2.0 * math.pi
 
 
 def _uniform_from_bits(bits: jnp.ndarray) -> jnp.ndarray:
-    """random bits → (0, 1] float32 uniforms (24-bit mantissa, never 0).
+    """random bits → (0, 1) float32 uniforms, never 0.
 
+    Uses 31 bits so Box-Muller reaches ~6.6 sigma (Q(6.6) ≈ 2e-11, below
+    every published BER point) — a 24-bit mantissa would truncate Gaussian
+    tails at 5.9 sigma and bias the 12-14 dB curve points.
     prng_random_bits may return *signed* int32; bitcast before shifting so
     the top bit does not turn into a sign."""
-    ubits = pltpu.bitcast(bits, jnp.uint32)
-    return ((ubits >> 8).astype(jnp.float32) * jnp.float32(2.0 ** -24)
-            + jnp.float32(2.0 ** -25))
+    ubits = pltpu.bitcast(bits, jnp.uint32) >> 1          # < 2^31
+    ibits = pltpu.bitcast(ubits, jnp.int32)               # positive; Mosaic
+    return (ibits.astype(jnp.float32) * jnp.float32(2.0 ** -31)  # lacks u32→f32
+            + jnp.float32(2.0 ** -32))
 
 
 def _fused_kernel(trellis: Trellis, T: int, Bt: int):
@@ -63,37 +67,41 @@ def _fused_kernel(trellis: Trellis, T: int, Bt: int):
     prev0 = trellis.prev_state[:, 0]
     prev1 = trellis.prev_state[:, 1]
 
-    def kernel(seed_ref, sigma_ref, syms_ref, init_ref, fm_ref, dec_ref):
+    def kernel(seed_ref, sigma_ref, syms_ref, init_ref, fm_ref, dec_ref,
+               dist_ref):
         pltpu.prng_seed(seed_ref[0], pl.program_id(0))
         sigma = sigma_ref[0]
 
+        # --- front chain vectorized over the whole [T, Bt] tile -----------
+        syms = syms_ref[:]                               # [T, Bt] int32
+        txi = jnp.full(syms.shape, float(points[0, 0]), jnp.float32)
+        txq = jnp.full(syms.shape, float(points[0, 1]), jnp.float32)
+        for e in range(1, M):
+            hit = syms == e
+            txi = jnp.where(hit, float(points[e, 0]), txi)
+            txq = jnp.where(hit, float(points[e, 1]), txq)
+        # Box-Muller AWGN (gaussian.c:18-38 semantics, TPU PRNG); one bulk
+        # draw + bulk transcendentals instead of T small per-step ops
+        u = _uniform_from_bits(pltpu.prng_random_bits((2,) + syms.shape))
+        r = jnp.sqrt(-2.0 * jnp.log(u[0]))
+        theta = jnp.float32(_TWO_PI) * u[1]
+        rxi = txi + sigma * (r * jnp.cos(theta))
+        rxq = txq + sigma * (r * jnp.sin(theta))
+        # soft demap: normalized squared distance to each point, staged in
+        # VMEM scratch so the ACS loop can row-index dynamically (Mosaic has
+        # no dynamic_slice on values, only on refs)
+        inv_nd = jnp.float32(1.0 / ndist)
+        for e in range(M):
+            di = rxi - float(points[e, 0])
+            dq = rxq - float(points[e, 1])
+            dist_ref[e] = ((di * di) + (dq * dq)) * inv_nd
+
+        # --- ACS over trellis steps ---------------------------------------
         def body(t, metrics):
-            sym = syms_ref[t]                            # [Bt] int32
-            # transmitted constellation point via static where-chain
-            txi = jnp.full(sym.shape, float(points[0, 0]), jnp.float32)
-            txq = jnp.full(sym.shape, float(points[0, 1]), jnp.float32)
-            for e in range(1, M):
-                hit = sym == e
-                txi = jnp.where(hit, float(points[e, 0]), txi)
-                txq = jnp.where(hit, float(points[e, 1]), txq)
-            # Box-Muller AWGN (gaussian.c:18-38 semantics, TPU PRNG);
-            # random_bits needs rank >= 2 — draw both uniforms in one call
-            u = _uniform_from_bits(pltpu.prng_random_bits((2,) + sym.shape))
-            u1, u2 = u[0], u[1]
-            r = jnp.sqrt(-2.0 * jnp.log(u1))
-            theta = jnp.float32(_TWO_PI) * u2
-            rxi = txi + sigma * r * jnp.cos(theta)
-            rxq = txq + sigma * r * jnp.sin(theta)
-            # soft demap: normalized squared distance to each point
-            dists = []
-            inv_nd = jnp.float32(1.0 / ndist)
-            for e in range(M):
-                di = rxi - float(points[e, 0])
-                dq = rxq - float(points[e, 1])
-                dists.append(((di * di) + (dq * dq)) * inv_nd)
-            # ACS
-            b0 = jnp.concatenate([dists[int(e)][None, :] for e in esym0], axis=0)
-            b1 = jnp.concatenate([dists[int(e)][None, :] for e in esym1], axis=0)
+            b0 = jnp.concatenate(
+                [dist_ref[int(e), t][None, :] for e in esym0], axis=0)
+            b1 = jnp.concatenate(
+                [dist_ref[int(e), t][None, :] for e in esym1], axis=0)
             cand0 = _rows(metrics, prev0) + b0
             cand1 = _rows(metrics, prev1) + b1
             dec = cand1 < cand0
@@ -111,6 +119,176 @@ def _fused_kernel(trellis: Trellis, T: int, Bt: int):
         fm_ref[:] = metrics
 
     return kernel, nwords
+
+
+def _mc_kernel(trellis: Trellis, T: int, L: int, Bt: int, nsteps: int):
+    """Whole-Monte-Carlo-step kernel: bits→encode→AWGN→demap→ACS→traceback→
+    error counts, nsteps iterations, all resident in VMEM.  The only HBM
+    traffic is the per-lane error counters."""
+    code = trellis.code
+    S = trellis.num_states
+    M = code.points_per_symbol
+    K = code.constraint_length
+    if S > _UNROLL_STATES:
+        raise NotImplementedError("fused MC kernel supports K <= 7")
+    _, _, _, _, nwords, _ = _tables(trellis)
+    points = get_constellation(code.symlen_out)
+    ndist = min_sq_distance(code.symlen_out)
+    esym0 = trellis.esym_prev[:, 0]
+    esym1 = trellis.esym_prev[:, 1]
+    prev0 = trellis.prev_state[:, 0]
+    prev1 = trellis.prev_state[:, 1]
+    half_mask = (S >> 1) - 1
+    polys = [int(p) for p in code.polynomials]
+    from convolutional_codes_tpu.models.trellis import quirk_mask_low
+    from convolutional_codes_tpu.models.codebook import PARITY_COMPAT
+    qmask = quirk_mask_low(K) if code.parity == PARITY_COMPAT else 0
+
+    def parity_u32(x):
+        x = x ^ (x >> 16)
+        x = x ^ (x >> 8)
+        x = x ^ (x >> 4)
+        x = x ^ (x >> 2)
+        x = x ^ (x >> 1)
+        return x & np.uint32(1)
+
+    def kernel(seed_ref, sigma_ref, err_ref, bits_ref, noise_ref, dec_ref):
+        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+        sigma = sigma_ref[0]
+        row_live = jax.lax.broadcasted_iota(jnp.int32, (T, Bt), 0) < L
+        inv_nd = jnp.float32(1.0 / ndist)
+
+        def one_step(step, carry):
+            errs, ferrs = carry
+            # fresh info bits (tail rows forced to zero — encoder.c:112-115)
+            rnd = pltpu.bitcast(pltpu.prng_random_bits((T, Bt)), jnp.uint32)
+            bits_ref[:] = jnp.where(row_live, (rnd & 1).astype(jnp.int32), 0)
+            # bulk Box-Muller noise for the whole block
+            u = _uniform_from_bits(pltpu.prng_random_bits((2, T, Bt)))
+            r = jnp.sqrt(-2.0 * jnp.log(u[0]))
+            theta = jnp.float32(_TWO_PI) * u[1]
+            noise_ref[0] = r * jnp.cos(theta)
+            noise_ref[1] = r * jnp.sin(theta)
+
+            def fwd(t, fc):
+                metrics, reg = fc
+                bitrow = bits_ref[t].astype(jnp.uint32)
+                reg = (reg >> 1) | (bitrow << (K - 1))
+                # encoder parity per polynomial (incl. compat quirk)
+                esym = jnp.zeros((Bt,), jnp.uint32)
+                for p in polys:
+                    x = reg & np.uint32(p)
+                    bit = parity_u32(x)
+                    if qmask:
+                        bit = bit & (np.uint32(1) - parity_u32(x & np.uint32(qmask)))
+                    esym = (esym << 1) | bit
+                txi = jnp.full((Bt,), float(points[0, 0]), jnp.float32)
+                txq = jnp.full((Bt,), float(points[0, 1]), jnp.float32)
+                for e in range(1, M):
+                    hit = esym == e
+                    txi = jnp.where(hit, float(points[e, 0]), txi)
+                    txq = jnp.where(hit, float(points[e, 1]), txq)
+                rxi = txi + sigma * noise_ref[0, t]
+                rxq = txq + sigma * noise_ref[1, t]
+                dists = []
+                for e in range(M):
+                    di = rxi - float(points[e, 0])
+                    dq = rxq - float(points[e, 1])
+                    dists.append(((di * di) + (dq * dq)) * inv_nd)
+                b0 = jnp.concatenate([dists[int(e)][None, :] for e in esym0], 0)
+                b1 = jnp.concatenate([dists[int(e)][None, :] for e in esym1], 0)
+                cand0 = _rows(metrics, prev0) + b0
+                cand1 = _rows(metrics, prev1) + b1
+                dec = cand1 < cand0
+                metrics = jnp.where(dec, cand1, cand0)
+                decu = dec.astype(jnp.uint32)
+                for w in range(nwords):
+                    lo, hi = w * 32, min(w * 32 + 32, S)
+                    acc = decu[lo]
+                    for s in range(lo + 1, hi):
+                        acc = acc + decu[s] * np.uint32(1 << (s - lo))
+                    dec_ref[t, w] = acc.astype(jnp.int32)
+                return metrics, reg
+
+            init = jnp.full((S, Bt), BIG_METRIC, jnp.float32)
+            init = jnp.concatenate(
+                [jnp.zeros((1, Bt), jnp.float32), init[1:]], axis=0)
+            metrics, _ = jax.lax.fori_loop(
+                0, T, fwd, (init, jnp.zeros((Bt,), jnp.uint32)))
+
+            # in-kernel argmin (strict less → first state wins ties)
+            best = metrics[0]
+            cur = jnp.zeros((Bt,), jnp.uint32)
+            for s in range(1, S):
+                better = metrics[s] < best
+                best = jnp.where(better, metrics[s], best)
+                cur = jnp.where(better, np.uint32(s), cur)
+
+            def tb(i, tc):
+                cur, err, fe = tc
+                t = T - 1 - i
+                if nwords == 1:
+                    word = dec_ref[t, 0].astype(jnp.uint32)
+                else:
+                    widx = (cur >> 5).astype(jnp.uint32)
+                    word = dec_ref[t, 0].astype(jnp.uint32)
+                    for w in range(1, nwords):
+                        word = jnp.where(widx == w,
+                                         dec_ref[t, w].astype(jnp.uint32), word)
+                b = (word >> (cur & 31)) & 1
+                bit = (cur >> (K - 2)).astype(jnp.int32)
+                mism = ((bit != bits_ref[t]) & (t < L)).astype(jnp.int32)
+                err = err + mism
+                fe = fe | mism
+                cur = ((cur & half_mask) << 1) | b
+                return cur, err, fe
+
+            _, err, fe = jax.lax.fori_loop(
+                0, T, tb, (cur, jnp.zeros((Bt,), jnp.int32),
+                           jnp.zeros((Bt,), jnp.int32)))
+            return errs + err, ferrs + fe
+
+        errs, ferrs = jax.lax.fori_loop(
+            0, nsteps, one_step,
+            (jnp.zeros((Bt,), jnp.int32), jnp.zeros((Bt,), jnp.int32)))
+        err_ref[0] = errs
+        err_ref[1] = ferrs
+
+    return kernel, nwords
+
+
+def mc_awgn_viterbi(code: Code, batch: int, nsteps: int, seed, sigma,
+                    block_lanes: int = 4096, interpret: bool = False
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Run ``nsteps`` whole Monte-Carlo steps of the AWGN soft-Viterbi chain
+    entirely on-chip.  Returns per-lane (bit_errors [B], frame_errors [B])
+    int32 counters; total simulated info bits = batch * nsteps * block_len.
+    """
+    trellis = build_trellis(code)
+    T, L = code.num_block_symbols, code.block_length
+    Bt = min(block_lanes, batch)
+    if batch % Bt:
+        raise ValueError(f"batch {batch} not divisible by tile {Bt}")
+    kernel, nwords = _mc_kernel(trellis, T, L, Bt, nsteps)
+    errs = pl.pallas_call(
+        kernel,
+        grid=(batch // Bt,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((2, Bt), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, batch), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((T, Bt), jnp.int32),              # info bits
+            pltpu.VMEM((2, T, Bt), jnp.float32),         # I/Q noise
+            pltpu.VMEM((T, nwords, Bt), jnp.int32),      # packed decisions
+        ],
+        interpret=interpret,
+    )(jnp.asarray([seed], jnp.int32) if np.ndim(seed) == 0 else seed,
+      jnp.asarray([sigma], jnp.float32) if np.ndim(sigma) == 0 else sigma)
+    return errs[0], errs[1]
 
 
 def fused_awgn_acs(code: Code, syms_tb: jnp.ndarray, seed, sigma,
@@ -152,6 +330,8 @@ def fused_awgn_acs(code: Code, syms_tb: jnp.ndarray, seed, sigma,
             jax.ShapeDtypeStruct((S, B), jnp.float32),
             jax.ShapeDtypeStruct((T, nwords, B), jnp.int32),
         ],
+        scratch_shapes=[pltpu.VMEM((code.points_per_symbol, T, Bt),
+                                   jnp.float32)],
         interpret=interpret,
     )(jnp.asarray([seed], jnp.int32) if np.ndim(seed) == 0 else seed,
       jnp.asarray([sigma], jnp.float32) if np.ndim(sigma) == 0 else sigma,

@@ -156,8 +156,40 @@ def traceback_from(trellis: Trellis, decisions: jnp.ndarray,
     return jnp.swapaxes(bits, 0, 1)
 
 
-def _decode(trellis: Trellis, bm: jnp.ndarray, hard: bool
-            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def _pallas_eligible(trellis: Trellis, backend: str) -> bool:
+    if backend == "xla":
+        return False
+    if backend == "pallas":
+        return True
+    return jax.default_backend() == "tpu" and trellis.num_states <= 64
+
+
+def _decode_pallas(trellis: Trellis, bm: jnp.ndarray, hard: bool
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    from convolutional_codes_tpu.ops.viterbi_pallas import (
+        BIG_METRIC, acs_forward_pallas, traceback_pallas)
+
+    B = bm.shape[0]
+    S = trellis.num_states
+    lanes = 1024 if B >= 1024 else 128
+    Bp = -(-B // lanes) * lanes
+    bm_p = jnp.pad(bm, ((0, Bp - B), (0, 0), (0, 0))) if Bp != B else bm
+    d_tmb = jnp.transpose(bm_p.astype(jnp.float32), (1, 2, 0))   # [T, M, Bp]
+    init_val = float(HARD_METRIC_SAT) if hard else BIG_METRIC
+    init = jnp.full((S, Bp), init_val, jnp.float32).at[0, :].set(0.0)
+    fm, dec = acs_forward_pallas(trellis, d_tmb, init, hard, block_lanes=lanes)
+    end_state = jnp.argmin(fm, axis=0).astype(jnp.int32)
+    min_metric = jnp.min(fm, axis=0)
+    bits = traceback_pallas(trellis, dec, end_state, block_lanes=lanes)
+    if hard:
+        min_metric = min_metric.astype(jnp.int32)
+    return bits.T[:B], min_metric[:B]
+
+
+def _decode(trellis: Trellis, bm: jnp.ndarray, hard: bool,
+            backend: str = "auto") -> Tuple[jnp.ndarray, jnp.ndarray]:
+    if _pallas_eligible(trellis, backend):
+        return _decode_pallas(trellis, bm, hard)
     B = bm.shape[0]
     final_metrics, decisions = acs_forward(
         trellis, bm, hard, initial_metrics(trellis, B, hard))
@@ -167,26 +199,32 @@ def _decode(trellis: Trellis, bm: jnp.ndarray, hard: bool
     return bits, min_metric
 
 
-def viterbi_decode_soft(code: Code, distances: jnp.ndarray) -> jnp.ndarray:
+def viterbi_decode_soft(code: Code, distances: jnp.ndarray,
+                        backend: str = "auto") -> jnp.ndarray:
     """Soft-decision block Viterbi.
 
     Args:
       distances: ``[B, T, 2^m]`` demapper distance vectors
         (T = block_len + K - 1).
+      backend: "auto" (Pallas kernels on TPU when K <= 7, XLA otherwise),
+        "pallas", or "xla".
     Returns:
       ``[B, block_len]`` decoded info bits (tail stripped).
     """
     trellis = build_trellis(code)
-    bits, _ = _decode(trellis, distances.astype(jnp.float32), hard=False)
+    bits, _ = _decode(trellis, distances.astype(jnp.float32), hard=False,
+                      backend=backend)
     return bits[:, : code.block_length].astype(jnp.int32)
 
 
-def viterbi_decode_hard(code: Code, received: jnp.ndarray
+def viterbi_decode_hard(code: Code, received: jnp.ndarray,
+                        backend: str = "auto"
                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Hard-decision block Viterbi on received symbols.
 
     Args:
       received: ``[B, T]`` int symbols (already masked to symlen_out bits).
+      backend: see :func:`viterbi_decode_soft`.
     Returns:
       (``[B, block_len]`` decoded bits, ``[B]`` winning path metric — the
       extra value the BSC callback carries,
@@ -194,5 +232,5 @@ def viterbi_decode_hard(code: Code, received: jnp.ndarray
     """
     trellis = build_trellis(code)
     bm = hard_branch_metrics(code, received)
-    bits, metric = _decode(trellis, bm, hard=True)
+    bits, metric = _decode(trellis, bm, hard=True, backend=backend)
     return bits[:, : code.block_length].astype(jnp.int32), metric

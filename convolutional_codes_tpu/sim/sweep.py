@@ -22,7 +22,8 @@ from convolutional_codes_tpu.models.codebook import Code, get_code
 from convolutional_codes_tpu.ops.channels import awgn_sigma
 from convolutional_codes_tpu.ops.fano import FANO_TIMEOUT
 from convolutional_codes_tpu.parallel.mesh import frames_axis_size
-from convolutional_codes_tpu.parallel.montecarlo import sharded_accumulate
+from convolutional_codes_tpu.parallel.montecarlo import (
+    fused_mc_accumulate, fused_mc_eligible, sharded_accumulate)
 from convolutional_codes_tpu.sim.chain import make_point_step, make_uncoded_step
 
 #: Default Eb/N0 grid in dB (AWGN-channel/main.c:150-152).
@@ -142,9 +143,18 @@ def run_sweep(spec: SweepSpec, mesh=None, checkpoint_path: Optional[str] = None,
         except FileNotFoundError:
             pass
 
+    # Fused all-in-one Pallas kernel for the flagship AWGN/soft-Viterbi
+    # config on TPU — same statistics, ~20x the throughput of the modular
+    # scan (the channel PRNG is the TPU-native generator there).
+    use_fused = (spec.channel == "awgn"
+                 and fused_mc_eligible(code, spec.channel, spec.decoder,
+                                       spec.demapper))
+    fused_batch = max(1024, -(-frames // 1024) * 1024) if use_fused else frames
+
     records: List[PointRecord] = []
     key = jax.random.PRNGKey(spec.seed)
-    bits_per_call = frames * frame_bits * ndev
+    eff_frames = fused_batch if use_fused else frames
+    bits_per_call = eff_frames * frame_bits * ndev
 
     for i, point in enumerate(points):
         pkey = jax.random.fold_in(key, i)
@@ -160,14 +170,19 @@ def run_sweep(spec: SweepSpec, mesh=None, checkpoint_path: Optional[str] = None,
         t0 = time.time()
         # chunk scans so int32 counters cannot overflow and dispatches stay
         # reasonably sized
-        chunk = max(1, min(nsteps, max(1, (1 << 30) // max(1, frames * frame_bits))))
+        chunk = max(1, min(nsteps, max(1, (1 << 30) // max(1, eff_frames * frame_bits))))
         be = fe = nb = 0
         left = nsteps
         ci = 0
         while left > 0:
             n = min(chunk, left)
-            cbe, cfe, cnb = sharded_accumulate(
-                step, n, jax.random.fold_in(pkey, ci), param, mesh)
+            if use_fused:
+                seed_i = (spec.seed * 1000003 + i * 7919 + ci) & 0x7FFFFFFF
+                cbe, cfe, cnb = fused_mc_accumulate(
+                    code, n, seed_i, param, fused_batch, mesh)
+            else:
+                cbe, cfe, cnb = sharded_accumulate(
+                    step, n, jax.random.fold_in(pkey, ci), param, mesh)
             be += cbe; fe += cfe; nb += cnb
             left -= n; ci += 1
         wall = time.time() - t0
