@@ -121,10 +121,16 @@ def _fused_kernel(trellis: Trellis, T: int, Bt: int):
     return kernel, nwords
 
 
-def _mc_kernel(trellis: Trellis, T: int, L: int, Bt: int, nsteps: int):
-    """Whole-Monte-Carlo-step kernel: bits→encode→AWGN→demap→ACS→traceback→
-    error counts, nsteps iterations, all resident in VMEM.  The only HBM
-    traffic is the per-lane error counters."""
+def _mc_kernel(trellis: Trellis, T: int, L: int, Bt: int,
+               channel: str = "awgn"):
+    """Whole-Monte-Carlo-step kernel: bits→encode→channel→metrics→ACS→
+    traceback→error counts, nsteps iterations, all resident in VMEM.  The
+    only HBM traffic is the per-lane error counters.
+
+    channel "awgn": Box-Muller noise + soft squared-distance metrics (the
+    param is sigma); "bsc": independent coded-bit flips + Hamming metrics
+    saturated at 0xFF00 (param is the crossover probability) — the hard
+    Viterbi chain of binary-symmetric-channel/main.c."""
     code = trellis.code
     S = trellis.num_states
     M = code.points_per_symbol
@@ -152,9 +158,13 @@ def _mc_kernel(trellis: Trellis, T: int, L: int, Bt: int, nsteps: int):
         x = x ^ (x >> 1)
         return x & np.uint32(1)
 
-    def kernel(seed_ref, sigma_ref, err_ref, bits_ref, noise_ref, dec_ref):
+    symlen = code.symlen_out
+    hard = channel == "bsc"
+
+    def kernel(seed_ref, sigma_ref, nsteps_ref, err_ref, bits_ref, noise_ref,
+               dec_ref, flips_ref):
         pltpu.prng_seed(seed_ref[0], pl.program_id(0))
-        sigma = sigma_ref[0]
+        param = sigma_ref[0]
         row_live = jax.lax.broadcasted_iota(jnp.int32, (T, Bt), 0) < L
         inv_nd = jnp.float32(1.0 / ndist)
 
@@ -163,12 +173,23 @@ def _mc_kernel(trellis: Trellis, T: int, L: int, Bt: int, nsteps: int):
             # fresh info bits (tail rows forced to zero — encoder.c:112-115)
             rnd = pltpu.bitcast(pltpu.prng_random_bits((T, Bt)), jnp.uint32)
             bits_ref[:] = jnp.where(row_live, (rnd & 1).astype(jnp.int32), 0)
-            # bulk Box-Muller noise for the whole block
-            u = _uniform_from_bits(pltpu.prng_random_bits((2, T, Bt)))
-            r = jnp.sqrt(-2.0 * jnp.log(u[0]))
-            theta = jnp.float32(_TWO_PI) * u[1]
-            noise_ref[0] = r * jnp.cos(theta)
-            noise_ref[1] = r * jnp.sin(theta)
+            if hard:
+                # per-coded-bit flip masks packed into a symbol-wide int
+                # (binary-symmetric-channel/main.c:61-68)
+                u = _uniform_from_bits(
+                    pltpu.prng_random_bits((symlen, T, Bt)))
+                fmask = jnp.zeros((T, Bt), jnp.uint32)
+                for k in range(symlen):
+                    fk = (u[k] < param).astype(jnp.uint32)
+                    fmask = fmask | (fk << k)
+                flips_ref[:] = fmask.astype(jnp.int32)
+            else:
+                # bulk Box-Muller noise for the whole block
+                u = _uniform_from_bits(pltpu.prng_random_bits((2, T, Bt)))
+                r = jnp.sqrt(-2.0 * jnp.log(u[0]))
+                theta = jnp.float32(_TWO_PI) * u[1]
+                noise_ref[0] = r * jnp.cos(theta)
+                noise_ref[1] = r * jnp.sin(theta)
 
             def fwd(t, fc):
                 metrics, reg = fc
@@ -182,23 +203,37 @@ def _mc_kernel(trellis: Trellis, T: int, L: int, Bt: int, nsteps: int):
                     if qmask:
                         bit = bit & (np.uint32(1) - parity_u32(x & np.uint32(qmask)))
                     esym = (esym << 1) | bit
-                txi = jnp.full((Bt,), float(points[0, 0]), jnp.float32)
-                txq = jnp.full((Bt,), float(points[0, 1]), jnp.float32)
-                for e in range(1, M):
-                    hit = esym == e
-                    txi = jnp.where(hit, float(points[e, 0]), txi)
-                    txq = jnp.where(hit, float(points[e, 1]), txq)
-                rxi = txi + sigma * noise_ref[0, t]
-                rxq = txq + sigma * noise_ref[1, t]
-                dists = []
-                for e in range(M):
-                    di = rxi - float(points[e, 0])
-                    dq = rxq - float(points[e, 1])
-                    dists.append(((di * di) + (dq * dq)) * inv_nd)
+                if hard:
+                    rx = esym ^ flips_ref[t].astype(jnp.uint32)
+                    dists = []
+                    for e in range(M):
+                        x = rx ^ np.uint32(e)
+                        h = x & np.uint32(1)
+                        for k in range(1, symlen):
+                            h = h + ((x >> k) & np.uint32(1))
+                        dists.append(h.astype(jnp.int32).astype(jnp.float32))
+                else:
+                    txi = jnp.full((Bt,), float(points[0, 0]), jnp.float32)
+                    txq = jnp.full((Bt,), float(points[0, 1]), jnp.float32)
+                    for e in range(1, M):
+                        hit = esym == e
+                        txi = jnp.where(hit, float(points[e, 0]), txi)
+                        txq = jnp.where(hit, float(points[e, 1]), txq)
+                    rxi = txi + param * noise_ref[0, t]
+                    rxq = txq + param * noise_ref[1, t]
+                    dists = []
+                    for e in range(M):
+                        di = rxi - float(points[e, 0])
+                        dq = rxq - float(points[e, 1])
+                        dists.append(((di * di) + (dq * dq)) * inv_nd)
                 b0 = jnp.concatenate([dists[int(e)][None, :] for e in esym0], 0)
                 b1 = jnp.concatenate([dists[int(e)][None, :] for e in esym1], 0)
                 cand0 = _rows(metrics, prev0) + b0
                 cand1 = _rows(metrics, prev1) + b1
+                if hard:
+                    # saturating 0xFF00 arithmetic (BSC viterbi :127-130)
+                    cand0 = jnp.minimum(cand0, float(0xFF00))
+                    cand1 = jnp.minimum(cand1, float(0xFF00))
                 dec = cand1 < cand0
                 metrics = jnp.where(dec, cand1, cand0)
                 decu = dec.astype(jnp.uint32)
@@ -210,7 +245,8 @@ def _mc_kernel(trellis: Trellis, T: int, L: int, Bt: int, nsteps: int):
                     dec_ref[t, w] = acc.astype(jnp.int32)
                 return metrics, reg
 
-            init = jnp.full((S, Bt), BIG_METRIC, jnp.float32)
+            init_val = float(0xFF00) if hard else BIG_METRIC
+            init = jnp.full((S, Bt), init_val, jnp.float32)
             init = jnp.concatenate(
                 [jnp.zeros((1, Bt), jnp.float32), init[1:]], axis=0)
             metrics, _ = jax.lax.fori_loop(
@@ -248,8 +284,11 @@ def _mc_kernel(trellis: Trellis, T: int, L: int, Bt: int, nsteps: int):
                            jnp.zeros((Bt,), jnp.int32)))
             return errs + err, ferrs + fe
 
+        # dynamic trip count: a large static bound tempts the compiler to
+        # unroll (pathological compile times); dynamic also means one
+        # executable serves every sample-size tier
         errs, ferrs = jax.lax.fori_loop(
-            0, nsteps, one_step,
+            0, nsteps_ref[0], one_step,
             (jnp.zeros((Bt,), jnp.int32), jnp.zeros((Bt,), jnp.int32)))
         err_ref[0] = errs
         err_ref[1] = ferrs
@@ -257,23 +296,27 @@ def _mc_kernel(trellis: Trellis, T: int, L: int, Bt: int, nsteps: int):
     return kernel, nwords
 
 
-def mc_awgn_viterbi(code: Code, batch: int, nsteps: int, seed, sigma,
-                    block_lanes: int = 4096, interpret: bool = False
-                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Run ``nsteps`` whole Monte-Carlo steps of the AWGN soft-Viterbi chain
-    entirely on-chip.  Returns per-lane (bit_errors [B], frame_errors [B])
-    int32 counters; total simulated info bits = batch * nsteps * block_len.
+def mc_chain_viterbi(code: Code, batch: int, nsteps: int, seed, param,
+                     channel: str = "awgn", block_lanes: int = 1024,
+                     interpret: bool = False
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Run ``nsteps`` whole Monte-Carlo steps of the Viterbi chain entirely
+    on-chip.  ``channel``: "awgn" (param = sigma, soft decode) or "bsc"
+    (param = crossover probability, hard decode with saturating metrics).
+    Returns per-lane (bit_errors [B], frame_errors [B]) int32 counters;
+    total simulated info bits = batch * nsteps * block_len.
     """
     trellis = build_trellis(code)
     T, L = code.num_block_symbols, code.block_length
     Bt = min(block_lanes, batch)
     if batch % Bt:
         raise ValueError(f"batch {batch} not divisible by tile {Bt}")
-    kernel, nwords = _mc_kernel(trellis, T, L, Bt, nsteps)
+    kernel, nwords = _mc_kernel(trellis, T, L, Bt, channel)
     errs = pl.pallas_call(
         kernel,
         grid=(batch // Bt,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
@@ -284,11 +327,25 @@ def mc_awgn_viterbi(code: Code, batch: int, nsteps: int, seed, sigma,
             pltpu.VMEM((T, Bt), jnp.int32),              # info bits
             pltpu.VMEM((2, T, Bt), jnp.float32),         # I/Q noise
             pltpu.VMEM((T, nwords, Bt), jnp.int32),      # packed decisions
+            pltpu.VMEM((T, Bt), jnp.int32),              # BSC flip masks
         ],
         interpret=interpret,
     )(jnp.asarray([seed], jnp.int32) if np.ndim(seed) == 0 else seed,
-      jnp.asarray([sigma], jnp.float32) if np.ndim(sigma) == 0 else sigma)
+      jnp.asarray([param], jnp.float32) if np.ndim(param) == 0 else param,
+      jnp.asarray([nsteps], jnp.int32))
     return errs[0], errs[1]
+
+
+def mc_awgn_viterbi(code: Code, batch: int, nsteps: int, seed, sigma,
+                    block_lanes: int = 1024, interpret: bool = False):
+    return mc_chain_viterbi(code, batch, nsteps, seed, sigma, "awgn",
+                            block_lanes, interpret)
+
+
+def mc_bsc_viterbi(code: Code, batch: int, nsteps: int, seed, crossover,
+                   block_lanes: int = 1024, interpret: bool = False):
+    return mc_chain_viterbi(code, batch, nsteps, seed, crossover, "bsc",
+                            block_lanes, interpret)
 
 
 def fused_awgn_acs(code: Code, syms_tb: jnp.ndarray, seed, sigma,

@@ -112,16 +112,16 @@ def sweep_grid_accumulate(step: StepFn, nsteps: int, key: jax.Array,
 # ---------------------------------------------------------------------------
 
 @lru_cache(maxsize=None)
-def _fused_runner(code, nsteps: int, batch: int, mesh: Optional[Mesh]):
-    from convolutional_codes_tpu.ops.fused_chain import mc_awgn_viterbi
+def _fused_runner(code, batch: int, mesh: Optional[Mesh], channel: str):
+    from convolutional_codes_tpu.ops.fused_chain import mc_chain_viterbi
 
     L = code.block_length
 
-    def counts(seed, sigma):
-        be, fe = mc_awgn_viterbi(code, batch, nsteps, seed, sigma,
-                                 block_lanes=min(1024, batch))
+    def counts(seed, param, nsteps):
+        be, fe = mc_chain_viterbi(code, batch, nsteps, seed, param, channel,
+                                  block_lanes=min(1024, batch))
         return (be.sum(dtype=jnp.int32), fe.sum(dtype=jnp.int32),
-                jnp.int32(batch * nsteps * L))
+                jnp.int32(batch * L) * nsteps)
 
     if mesh is None or "frames" not in mesh.axis_names:
         return jax.jit(counts)
@@ -129,35 +129,38 @@ def _fused_runner(code, nsteps: int, batch: int, mesh: Optional[Mesh]):
     fa = "frames"
 
     @jax.jit
-    @partial(shard_map, mesh=mesh, in_specs=(P(fa), P()), out_specs=P(),
+    @partial(shard_map, mesh=mesh, in_specs=(P(fa), P(), P()), out_specs=P(),
              check_vma=False)
-    def run(seeds, sigma):
-        out = counts(seeds[0], sigma)
+    def run(seeds, sigma, nsteps):
+        out = counts(seeds[0], sigma, nsteps)
         return tuple(jax.lax.psum(x, fa) for x in out)
 
     return run
 
 
 def fused_mc_eligible(code, channel: str, decoder: str, demapper: str) -> bool:
-    """The all-in-one Pallas Monte-Carlo kernel covers the flagship config."""
-    return (jax.default_backend() == "tpu"
-            and channel == "awgn" and decoder == "viterbi"
-            and demapper == "soft" and code.num_states <= 64
-            and code.points_per_symbol <= 8)
+    """The all-in-one Pallas Monte-Carlo kernel covers the flagship
+    configs: AWGN + soft Viterbi, and BSC + hard Viterbi."""
+    if jax.default_backend() != "tpu" or decoder != "viterbi":
+        return False
+    if code.num_states > 64 or code.points_per_symbol > 8:
+        return False
+    return channel == "bsc" or (channel == "awgn" and demapper == "soft")
 
 
-def fused_mc_accumulate(code, nsteps: int, seed: int, sigma, batch: int,
-                        mesh: Optional[Mesh] = None) -> Tuple[int, int, int]:
-    """Fused-kernel equivalent of :func:`sharded_accumulate` for the AWGN
-    soft-Viterbi chain.  ``seed`` is a Python int; per-device streams are
+def fused_mc_accumulate(code, nsteps: int, seed: int, param, batch: int,
+                        mesh: Optional[Mesh] = None,
+                        channel: str = "awgn") -> Tuple[int, int, int]:
+    """Fused-kernel equivalent of :func:`sharded_accumulate` for the
+    Viterbi chains.  ``seed`` is a Python int; per-device streams are
     derived from it on the frames axis."""
-    run = _fused_runner(code, nsteps, batch, mesh)
+    run = _fused_runner(code, batch, mesh, channel)
     if mesh is None or "frames" not in mesh.axis_names:
         be, fe, nb = run(jnp.int32(seed & 0x7FFFFFFF),
-                         jnp.float32(sigma))
+                         jnp.float32(param), jnp.int32(nsteps))
         return int(be), int(fe), int(nb)
     ndev = mesh.shape["frames"]
     seeds = jnp.asarray([(seed * 1315423911 + d) & 0x7FFFFFFF
                          for d in range(ndev)], jnp.int32)
-    be, fe, nb = run(seeds, jnp.float32(sigma))
+    be, fe, nb = run(seeds, jnp.float32(param), jnp.int32(nsteps))
     return int(be), int(fe), int(nb)

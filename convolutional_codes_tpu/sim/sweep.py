@@ -146,7 +146,7 @@ def run_sweep(spec: SweepSpec, mesh=None, checkpoint_path: Optional[str] = None,
     # Fused all-in-one Pallas kernel for the flagship AWGN/soft-Viterbi
     # config on TPU — same statistics, ~20x the throughput of the modular
     # scan (the channel PRNG is the TPU-native generator there).
-    use_fused = (spec.channel == "awgn"
+    use_fused = (spec.channel in ("awgn", "bsc")
                  and fused_mc_eligible(code, spec.channel, spec.decoder,
                                        spec.demapper))
     fused_batch = max(1024, -(-frames // 1024) * 1024) if use_fused else frames
@@ -179,7 +179,8 @@ def run_sweep(spec: SweepSpec, mesh=None, checkpoint_path: Optional[str] = None,
             if use_fused:
                 seed_i = (spec.seed * 1000003 + i * 7919 + ci) & 0x7FFFFFFF
                 cbe, cfe, cnb = fused_mc_accumulate(
-                    code, n, seed_i, param, fused_batch, mesh)
+                    code, n, seed_i, param, fused_batch, mesh,
+                    channel=spec.channel)
             else:
                 cbe, cfe, cnb = sharded_accumulate(
                     step, n, jax.random.fold_in(pkey, ci), param, mesh)

@@ -1,0 +1,119 @@
+#!/usr/bin/env python3
+"""Reproduce the reference's published BER curves at full sample sizes.
+
+Runs the framework's sweep runner at the reference's tiered Monte-Carlo
+sample counts, compares every point against the published tables
+(tests/goldens/published_curves.json) with binomial z-scores, and writes
+results/<name>.jsonl + an Octave-compatible table + a summary.
+
+Usage:
+  python tools/reproduce_curves.py [--quick] [--config awgn_viterbi ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import numpy as np  # noqa: E402
+
+from convolutional_codes_tpu.sim.sweep import (  # noqa: E402
+    SweepSpec, run_sweep, awgn_tier_bits, bsc_tier_bits)
+from convolutional_codes_tpu.utils import records as rec  # noqa: E402
+
+GOLD = json.load(open(REPO / "tests" / "goldens" / "published_curves.json"))
+RESULTS = REPO / "results"
+
+
+def zscore(p_obs, n_obs, p_pub, n_pub, cluster=1.0):
+    if p_obs == 0 and p_pub == 0:
+        return 0.0
+    var = cluster * ((p_obs * (1 - p_obs)) / max(n_obs, 1)
+                     + (p_pub * (1 - p_pub)) / max(n_pub, 1))
+    if var == 0:
+        return float("inf") if p_obs != p_pub else 0.0
+    return (p_obs - p_pub) / math.sqrt(var)
+
+
+def compare(records, channel, row_name, scale):
+    pub = GOLD[channel][row_name]
+    grid = GOLD[channel]["SNR" if channel == "awgn" else "ber_uncoded"]
+    tier = awgn_tier_bits if channel == "awgn" else bsc_tier_bits
+    lines = []
+    worst = 0.0
+    for r in records:
+        idx = min(range(len(grid)), key=lambda j: abs(grid[j] - r.point))
+        p_pub = pub[idx]
+        n_pub = tier(r.point)
+        cluster = max(1.0, r.bit_errors / max(r.frame_errors, 1))
+        z = zscore(r.ber, r.bits, p_pub, n_pub, cluster)
+        worst = max(worst, abs(z))
+        lines.append(f"  point={r.point:<10g} ours={r.ber:.6e} "
+                     f"published={p_pub:.6e} z={z:+.2f}")
+    return lines, worst
+
+
+CONFIGS = {
+    # name: (spec kwargs, published row, channel)
+    **{f"awgn_viterbi_soft_{i}": (dict(code=i, channel="awgn", decoder="viterbi",
+                                       demapper="soft"), row, "awgn")
+       for i, row in zip([0, 1, 2, 3, 5],
+                         ["ber_coded_a", "ber_coded_b", "ber_coded_c",
+                          "ber_coded_d", "ber_coded_e"])},
+    **{f"awgn_viterbi_hard_{i}": (dict(code=i, channel="awgn", decoder="viterbi",
+                                       demapper="hard"), row, "awgn")
+       for i, row in zip([0, 1, 2, 3, 5],
+                         ["ber_coded_ah", "ber_coded_bh", "ber_coded_ch",
+                          "ber_coded_dh", "ber_coded_eh"])},
+    "bsc_viterbi_0": (dict(code=0, channel="bsc", decoder="viterbi"),
+                      "ber_coded_a", "bsc"),
+    "uncoded_2": (dict(code=0, channel="uncoded"), "ber_uncoded_2", "awgn"),
+    "uncoded_3": (dict(code=5, channel="uncoded"), "ber_uncoded_3", "awgn"),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="1%% of the reference sample sizes")
+    ap.add_argument("--scale", type=float, default=None)
+    ap.add_argument("--config", nargs="*", default=None)
+    ap.add_argument("--frames", type=int, default=262144)
+    args = ap.parse_args()
+    scale = args.scale if args.scale is not None else (0.01 if args.quick else 1.0)
+
+    RESULTS.mkdir(exist_ok=True)
+    names = args.config or list(CONFIGS)
+    unknown = [n for n in names if n not in CONFIGS]
+    if unknown:
+        ap.error(f"unknown config(s) {unknown}; choose from {sorted(CONFIGS)}")
+    summary = []
+    for name in names:
+        kw, row, channel = CONFIGS[name]
+        spec = SweepSpec(frames_per_step=args.frames, base_bits=8e8 * scale,
+                         seed=1234, **kw)
+        print(f"=== {name} (scale {scale}) ===", flush=True)
+        records = run_sweep(spec, verbose=True)
+        rec.write_jsonl(records, str(RESULTS / f"{name}.jsonl"))
+        rec.write_octave([(name, records)], str(RESULTS / f"{name}.m"))
+        lines, worst = compare(records, channel, row, scale)
+        print("\n".join(lines), flush=True)
+        agg = sum(r.bits for r in records) / sum(r.wall_s for r in records)
+        summary.append((name, worst, agg))
+        print(f"  worst |z| = {worst:.2f}, aggregate {agg:.3e} bits/s", flush=True)
+
+    print("\n=== summary ===")
+    for name, worst, agg in summary:
+        flag = "OK " if worst < 4.5 else "WARN"
+        print(f"{flag} {name:26s} worst|z|={worst:6.2f} {agg:.3e} bits/s")
+
+
+if __name__ == "__main__":
+    main()
