@@ -122,7 +122,7 @@ def _fused_kernel(trellis: Trellis, T: int, Bt: int):
 
 
 def _mc_kernel(trellis: Trellis, T: int, L: int, Bt: int,
-               channel: str = "awgn"):
+               channel: str = "awgn", demapper: str = "soft"):
     """Whole-Monte-Carlo-step kernel: bits→encode→channel→metrics→ACS→
     traceback→error counts, nsteps iterations, all resident in VMEM.  The
     only HBM traffic is the per-lane error counters.
@@ -226,6 +226,24 @@ def _mc_kernel(trellis: Trellis, T: int, L: int, Bt: int,
                         di = rxi - float(points[e, 0])
                         dq = rxq - float(points[e, 1])
                         dists.append(((di * di) + (dq * dq)) * inv_nd)
+                    if demapper == "hard":
+                        # snap-then-distance (hard-demapper.c:66-87): pick
+                        # the nearest point (strict less, first wins), then
+                        # re-derive the distance vector from the snapped
+                        # point — downstream soft ACS runs unchanged
+                        best = dists[0]
+                        sxi = jnp.full((Bt,), float(points[0, 0]), jnp.float32)
+                        sxq = jnp.full((Bt,), float(points[0, 1]), jnp.float32)
+                        for e in range(1, M):
+                            better = dists[e] < best
+                            best = jnp.where(better, dists[e], best)
+                            sxi = jnp.where(better, float(points[e, 0]), sxi)
+                            sxq = jnp.where(better, float(points[e, 1]), sxq)
+                        dists = []
+                        for e in range(M):
+                            di = sxi - float(points[e, 0])
+                            dq = sxq - float(points[e, 1])
+                            dists.append(((di * di) + (dq * dq)) * inv_nd)
                 b0 = jnp.concatenate([dists[int(e)][None, :] for e in esym0], 0)
                 b1 = jnp.concatenate([dists[int(e)][None, :] for e in esym1], 0)
                 cand0 = _rows(metrics, prev0) + b0
@@ -298,7 +316,7 @@ def _mc_kernel(trellis: Trellis, T: int, L: int, Bt: int,
 
 def mc_chain_viterbi(code: Code, batch: int, nsteps: int, seed, param,
                      channel: str = "awgn", block_lanes: int = 1024,
-                     interpret: bool = False
+                     interpret: bool = False, demapper: str = "soft"
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run ``nsteps`` whole Monte-Carlo steps of the Viterbi chain entirely
     on-chip.  ``channel``: "awgn" (param = sigma, soft decode) or "bsc"
@@ -311,7 +329,7 @@ def mc_chain_viterbi(code: Code, batch: int, nsteps: int, seed, param,
     Bt = min(block_lanes, batch)
     if batch % Bt:
         raise ValueError(f"batch {batch} not divisible by tile {Bt}")
-    kernel, nwords = _mc_kernel(trellis, T, L, Bt, channel)
+    kernel, nwords = _mc_kernel(trellis, T, L, Bt, channel, demapper)
     errs = pl.pallas_call(
         kernel,
         grid=(batch // Bt,),

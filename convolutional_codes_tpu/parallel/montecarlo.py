@@ -112,14 +112,16 @@ def sweep_grid_accumulate(step: StepFn, nsteps: int, key: jax.Array,
 # ---------------------------------------------------------------------------
 
 @lru_cache(maxsize=None)
-def _fused_runner(code, batch: int, mesh: Optional[Mesh], channel: str):
+def _fused_runner(code, batch: int, mesh: Optional[Mesh], channel: str,
+                  demapper: str = "soft"):
     from convolutional_codes_tpu.ops.fused_chain import mc_chain_viterbi
 
     L = code.block_length
 
     def counts(seed, param, nsteps):
         be, fe = mc_chain_viterbi(code, batch, nsteps, seed, param, channel,
-                                  block_lanes=min(1024, batch))
+                                  block_lanes=min(1024, batch),
+                                  demapper=demapper)
         return (be.sum(dtype=jnp.int32), fe.sum(dtype=jnp.int32),
                 jnp.int32(batch * L) * nsteps)
 
@@ -145,16 +147,16 @@ def fused_mc_eligible(code, channel: str, decoder: str, demapper: str) -> bool:
         return False
     if code.num_states > 64 or code.points_per_symbol > 8:
         return False
-    return channel == "bsc" or (channel == "awgn" and demapper == "soft")
+    return channel in ("bsc", "awgn")
 
 
 def fused_mc_accumulate(code, nsteps: int, seed: int, param, batch: int,
-                        mesh: Optional[Mesh] = None,
-                        channel: str = "awgn") -> Tuple[int, int, int]:
+                        mesh: Optional[Mesh] = None, channel: str = "awgn",
+                        demapper: str = "soft") -> Tuple[int, int, int]:
     """Fused-kernel equivalent of :func:`sharded_accumulate` for the
     Viterbi chains.  ``seed`` is a Python int; per-device streams are
     derived from it on the frames axis."""
-    run = _fused_runner(code, batch, mesh, channel)
+    run = _fused_runner(code, batch, mesh, channel, demapper)
     if mesh is None or "frames" not in mesh.axis_names:
         be, fe, nb = run(jnp.int32(seed & 0x7FFFFFFF),
                          jnp.float32(param), jnp.int32(nsteps))

@@ -180,7 +180,7 @@ def run_sweep(spec: SweepSpec, mesh=None, checkpoint_path: Optional[str] = None,
                 seed_i = (spec.seed * 1000003 + i * 7919 + ci) & 0x7FFFFFFF
                 cbe, cfe, cnb = fused_mc_accumulate(
                     code, n, seed_i, param, fused_batch, mesh,
-                    channel=spec.channel)
+                    channel=spec.channel, demapper=spec.demapper)
             else:
                 cbe, cfe, cnb = sharded_accumulate(
                     step, n, jax.random.fold_in(pkey, ci), param, mesh)

@@ -30,10 +30,15 @@ def check(rec, channel, row, z_max=4.5):
     # Bit errors cluster per frame (a lost frame contributes many errors at
     # once), so per-bit binomial variance underestimates spread: inflate by
     # the mean cluster size on both sides.
-    cluster = max(1.0, rec.bit_errors / max(rec.frame_errors, 1))
-    var = cluster * ((rec.ber * (1 - rec.ber)) / rec.bits
-                     + (p_pub * (1 - p_pub)) / n_pub)
-    z = (rec.ber - p_pub) / math.sqrt(var) if var else 0.0
+    if rec.bit_errors == 0 and p_pub > 0:
+        # zero observations: significance is set by expected frame EVENTS
+        frame_bits = rec.bits / max(rec.frames, 1)
+        z = -math.sqrt(p_pub * rec.bits / max(1.0, frame_bits / 4))
+    else:
+        cluster = max(1.0, rec.bit_errors / max(rec.frame_errors, 1))
+        var = cluster * ((rec.ber * (1 - rec.ber)) / rec.bits
+                         + (p_pub * (1 - p_pub)) / n_pub)
+        z = (rec.ber - p_pub) / math.sqrt(var) if var else 0.0
     assert abs(z) < z_max, (f"{row} point {rec.point}: ours {rec.ber:.4e} "
                             f"vs published {p_pub:.4e}, z={z:.1f}")
 

@@ -52,8 +52,15 @@ def compare(records, channel, row_name, scale):
         idx = min(range(len(grid)), key=lambda j: abs(grid[j] - r.point))
         p_pub = pub[idx]
         n_pub = tier(r.point)
-        cluster = max(1.0, r.bit_errors / max(r.frame_errors, 1))
-        z = zscore(r.ber, r.bits, p_pub, n_pub, cluster)
+        if r.bit_errors == 0 and p_pub > 0:
+            # zero observations: errors arrive in per-frame bursts, so the
+            # expected count of frame EVENTS (Poisson) decides significance;
+            # cluster size unknown → conservative L/4 bits per event
+            lam = p_pub * r.bits / max(1.0, r.bits / max(r.frames, 1) / 4)
+            z = -math.sqrt(lam)
+        else:
+            cluster = max(1.0, r.bit_errors / max(r.frame_errors, 1))
+            z = zscore(r.ber, r.bits, p_pub, n_pub, cluster)
         worst = max(worst, abs(z))
         lines.append(f"  point={r.point:<10g} ours={r.ber:.6e} "
                      f"published={p_pub:.6e} z={z:+.2f}")
@@ -76,6 +83,24 @@ CONFIGS = {
                       "ber_coded_a", "bsc"),
     "uncoded_2": (dict(code=0, channel="uncoded"), "ber_uncoded_2", "awgn"),
     "uncoded_3": (dict(code=5, channel="uncoded"), "ber_uncoded_3", "awgn"),
+    # sequential decoders: spot-check grids (full low-SNR sweeps are
+    # lockstep-slow; see CLAUDE.md)
+    "awgn_stack_soft_0": (dict(code=0, channel="awgn", decoder="stack",
+                               points=[4.0, 6.0, 8.0], bits_per_point=4e5,
+                               frames_per_step=4096),
+                          "ber_coded_a_stack", "awgn"),
+    "awgn_stack_soft_wspr": (dict(code=4, channel="awgn", decoder="stack",
+                                  points=[4.0, 6.0], bits_per_point=4e5,
+                                  frames_per_step=4096),
+                             "ber_coded_f_stack", "awgn"),
+    "bsc_stack_0": (dict(code=0, channel="bsc", decoder="stack",
+                         points=[0.0125, 0.05], bits_per_point=4e5,
+                         frames_per_step=4096),
+                    "ber_coded_a_stack", "bsc"),
+    "awgn_fano_soft_0": (dict(code=0, channel="awgn", decoder="fano",
+                              points=[6.0, 8.0], bits_per_point=1e5,
+                              frames_per_step=2048),
+                         "ber_coded_a_fano", "awgn"),
 }
 
 
@@ -97,7 +122,9 @@ def main():
     summary = []
     for name in names:
         kw, row, channel = CONFIGS[name]
-        spec = SweepSpec(frames_per_step=args.frames, base_bits=8e8 * scale,
+        kw = dict(kw)
+        frames = kw.pop("frames_per_step", args.frames)
+        spec = SweepSpec(frames_per_step=frames, base_bits=8e8 * scale,
                          seed=1234, **kw)
         print(f"=== {name} (scale {scale}) ===", flush=True)
         records = run_sweep(spec, verbose=True)
