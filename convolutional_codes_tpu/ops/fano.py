@@ -53,7 +53,7 @@ _BACKTRACK = jnp.int8(1)
 
 
 def _fano_decode(code: Code, symbols: jnp.ndarray, soft: bool,
-                 timeout_per_bit: int) -> jnp.ndarray:
+                 timeout_per_bit: int, unroll: int = 4) -> jnp.ndarray:
     B = symbols.shape[0]
     T = code.num_block_symbols
     branch = make_branch_fn(code)
@@ -195,9 +195,15 @@ def _fano_decode(code: Code, symbols: jnp.ndarray, soft: bool,
         return (nstate, nmetric, succ0, succ1, tm0, tm1, selected, decoded,
                 cur, threshold, timeout, mode, done)
 
+    def body_n(carry):
+        # masked micro-steps: extra iterations on done frames are no-ops
+        for _ in range(unroll):
+            carry = body(carry)
+        return carry
+
     carry = (nstate, nmetric, succ0, succ1, tm0, tm1, selected, decoded,
              cur, threshold, timeout, mode, done)
-    carry = jax.lax.while_loop(cond, body, carry)
+    carry = jax.lax.while_loop(cond, body_n, carry)
     decoded = carry[7]
     return decoded[:, : code.block_length].astype(jnp.int32)
 

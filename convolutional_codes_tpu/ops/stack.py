@@ -12,6 +12,10 @@ Reference semantics (soft: ``AWGN-channel/stack-decoder.c``, hard:
   * soft branch metric ``1 + metric_weight * dist[esym]`` (:274), hard
     ``hamming*wrong + (symlen-hamming)*correct`` (BSC :267-272).
 
+Decoded paths are bit-packed into uint32 words ([batch, 64, ceil(T/32)]) —
+the path store is the decoder's HBM-bandwidth hot spot, and packing cuts
+the per-extension duplicate-copy traffic 8x vs byte-per-bit storage.
+
 TPU formulation: all frames advance in lockstep inside one
 ``lax.while_loop``.  Per iteration each frame performs exactly one reference
 loop step — either "accept next symbol" (best path caught up) or "extend
@@ -42,7 +46,8 @@ _IPOS = jnp.int32(2**31 - 1)
 
 
 def _stack_decode(code: Code, symbols: jnp.ndarray, soft: bool,
-                  max_iters: Optional[int] = None) -> jnp.ndarray:
+                  max_iters: Optional[int] = None,
+                  unroll: int = 4) -> jnp.ndarray:
     """symbols: [B, T, 2^m] float32 distances (soft) or [B, T] int (hard)."""
     B = symbols.shape[0]
     T = code.num_block_symbols
@@ -54,11 +59,12 @@ def _stack_decode(code: Code, symbols: jnp.ndarray, soft: bool,
     else:
         mdtype, neg, pos = jnp.int32, _INEG, _IPOS
 
+    nwords = (T + 31) // 32
     # Path arrays. Like the reference, only slots < nstack are live.
     nii = jnp.zeros((B, STACK_DEPTH), jnp.int32)        # next symbol index
     state = jnp.zeros((B, STACK_DEPTH), jnp.uint32)
     metric = jnp.zeros((B, STACK_DEPTH), mdtype)
-    bits = jnp.zeros((B, STACK_DEPTH, T), jnp.int8)
+    bits = jnp.zeros((B, STACK_DEPTH, nwords), jnp.uint32)  # packed paths
     nstack = jnp.ones((B,), jnp.int32)
     widx = jnp.ones((B,), jnp.int32)                    # symbols received
     done = jnp.zeros((B,), bool)
@@ -110,15 +116,18 @@ def _stack_decode(code: Code, symbols: jnp.ndarray, soft: bool,
         # masked frames scatter to their current slot with unchanged values
         new = jnp.where(ext, new, cur)
 
-        cur_row = bits[arangeB, cur]                               # [B, T]
-        onehot_t = (jnp.arange(T)[None, :] == t[:, None])
+        cur_row = bits[arangeB, cur]                            # [B, nwords]
+        # set bit t (per-frame word index / bit position) in the duplicate
+        word_onehot = (jnp.arange(nwords)[None, :] == (t[:, None] >> 5))
+        setbit = ((jnp.uint32(1) << (t[:, None] & 31).astype(jnp.uint32))
+                  * word_onehot.astype(jnp.uint32))
 
         # duplicate (input 1) — from the *original* path fields
         nii = nii.at[arangeB, new].set(jnp.where(ext, cur_nii + 1, nii[arangeB, new]))
         state = state.at[arangeB, new].set(jnp.where(ext, ns1, state[arangeB, new]))
         metric = metric.at[arangeB, new].set(
             jnp.where(ext, (m + tm1).astype(mdtype), metric[arangeB, new]))
-        row1 = jnp.where(onehot_t, jnp.int8(1), cur_row)
+        row1 = cur_row | setbit
         bits = bits.at[arangeB, new].set(
             jnp.where(ext[:, None], row1, bits[arangeB, new]))
 
@@ -132,16 +141,27 @@ def _stack_decode(code: Code, symbols: jnp.ndarray, soft: bool,
         nstack = jnp.where(ext & ~at_cap, nstack + 1, nstack)
         return nii, state, metric, bits, nstack, widx, done
 
+    def body_n(carry):
+        # every update is masked per frame, so running extra iterations past
+        # a frame's completion is a no-op — unrolling amortizes while-loop
+        # overhead and lets XLA fuse across micro-steps
+        for _ in range(unroll):
+            carry = body(carry)
+        return carry
+
     carry = (nii, state, metric, bits, nstack, widx, done)
     if max_iters is None:
-        carry = jax.lax.while_loop(cond, body, carry)
+        carry = jax.lax.while_loop(cond, body_n, carry)
     else:
         def fori_body(_, c):
-            return jax.lax.cond(cond(c), body, lambda x: x, c)
+            return jax.lax.cond(cond(c), body_n, lambda x: x, c)
         carry = jax.lax.fori_loop(0, max_iters, fori_body, carry)
     nii, state, metric, bits, nstack, widx, done = carry
     cur = best_path(metric, nstack)
-    return bits[arangeB, cur, : code.block_length].astype(jnp.int32)
+    packed = bits[arangeB, cur]                                 # [B, nwords]
+    t_idx = jnp.arange(code.block_length)
+    unpacked = (packed[:, t_idx >> 5] >> (t_idx & 31)[None, :]) & 1
+    return unpacked.astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnums=(0,))

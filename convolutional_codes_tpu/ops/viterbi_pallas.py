@@ -71,6 +71,12 @@ def _rows(x, idx):
     return jnp.concatenate([x[int(i)][None, :] for i in idx], axis=0)
 
 
+#: At or above this state count, trellis selection runs as MXU matmuls with
+#: one-hot matrices passed as kernel inputs (below it, unrolled row concat
+#: on the VPU wins — tiny matmuls waste the padded 128x128 array).
+_MATMUL_STATES = 32
+
+
 def _acs_kernel(trellis: Trellis, T: int, Bt: int, hard: bool):
     _, _, _, _, nwords, _ = _tables(trellis)
     S = trellis.num_states
@@ -78,42 +84,62 @@ def _acs_kernel(trellis: Trellis, T: int, Bt: int, hard: bool):
         raise NotImplementedError(
             f"pallas ACS kernel supports up to {_UNROLL_STATES} states "
             f"(K <= 7); got {S} — use the XLA path")
+    use_matmul = S >= _MATMUL_STATES
     prev0 = trellis.prev_state[:, 0]
     prev1 = trellis.prev_state[:, 1]
     esym0 = trellis.esym_prev[:, 0]
     esym1 = trellis.esym_prev[:, 1]
 
-    def kernel(dists_ref, init_ref, fm_ref, dec_ref):
-        # NOTE: pallas rejects array-valued closure constants, so all
-        # trellis data enters as unrolled static row selections and python
-        # scalar weights.
-        def body(t, metrics):
-            bm = dists_ref[t]                               # [M, Bt]
-            pm0 = _rows(metrics, prev0)
-            pm1 = _rows(metrics, prev1)
-            b0 = _rows(bm, esym0)
-            b1 = _rows(bm, esym1)
-            cand0 = pm0 + b0
-            cand1 = pm1 + b1
-            if hard:
-                cand0 = jnp.minimum(cand0, float(0xFF00))
-                cand1 = jnp.minimum(cand1, float(0xFF00))
-            dec = cand1 < cand0                             # ties → branch 0
-            new_metrics = jnp.where(dec, cand1, cand0)
-            decu = dec.astype(jnp.uint32)
-            for w in range(nwords):
-                lo = w * 32
-                hi = min(lo + 32, S)
-                acc = decu[lo]
-                for s in range(lo + 1, hi):
-                    acc = acc + decu[s] * np.uint32(1 << (s - lo))
-                dec_ref[t, w] = acc.astype(jnp.int32)
-            return new_metrics
+    def pack(dec_ref, t, dec):
+        decu = dec.astype(jnp.uint32)
+        for w in range(nwords):
+            lo = w * 32
+            hi = min(lo + 32, S)
+            acc = decu[lo]
+            for s in range(lo + 1, hi):
+                acc = acc + decu[s] * np.uint32(1 << (s - lo))
+            dec_ref[t, w] = acc.astype(jnp.int32)
 
-        metrics = jax.lax.fori_loop(0, T, body, init_ref[:])
-        fm_ref[:] = metrics
+    def finish(cand0, cand1, dec_ref, t):
+        if hard:
+            cand0 = jnp.minimum(cand0, float(0xFF00))
+            cand1 = jnp.minimum(cand1, float(0xFF00))
+        dec = cand1 < cand0                                 # ties → branch 0
+        new_metrics = jnp.where(dec, cand1, cand0)
+        pack(dec_ref, t, dec)
+        return new_metrics
 
-    return kernel, nwords
+    if use_matmul:
+        # one-hot selection on the MXU; P/E matrices arrive as inputs
+        # (pallas rejects array-valued closure constants)
+        def kernel(dists_ref, init_ref, p0_ref, p1_ref, e0_ref, e1_ref,
+                   fm_ref, dec_ref):
+            def body(t, metrics):
+                bm = dists_ref[t]                           # [M, Bt]
+                cand0 = jnp.dot(p0_ref[:], metrics,
+                                preferred_element_type=jnp.float32) \
+                    + jnp.dot(e0_ref[:], bm,
+                              preferred_element_type=jnp.float32)
+                cand1 = jnp.dot(p1_ref[:], metrics,
+                                preferred_element_type=jnp.float32) \
+                    + jnp.dot(e1_ref[:], bm,
+                              preferred_element_type=jnp.float32)
+                return finish(cand0, cand1, dec_ref, t)
+
+            metrics = jax.lax.fori_loop(0, T, body, init_ref[:])
+            fm_ref[:] = metrics
+    else:
+        def kernel(dists_ref, init_ref, fm_ref, dec_ref):
+            def body(t, metrics):
+                bm = dists_ref[t]                           # [M, Bt]
+                cand0 = _rows(metrics, prev0) + _rows(bm, esym0)
+                cand1 = _rows(metrics, prev1) + _rows(bm, esym1)
+                return finish(cand0, cand1, dec_ref, t)
+
+            metrics = jax.lax.fori_loop(0, T, body, init_ref[:])
+            fm_ref[:] = metrics
+
+    return kernel, nwords, use_matmul
 
 
 def acs_forward_pallas(trellis: Trellis, dists_tmb: jnp.ndarray,
@@ -133,17 +159,25 @@ def acs_forward_pallas(trellis: Trellis, dists_tmb: jnp.ndarray,
     Bt = min(block_lanes, B)
     if B % Bt:
         raise ValueError(f"batch {B} not divisible by tile {Bt}")
-    kernel, nwords = _acs_kernel(trellis, T, Bt, hard)
+    kernel, nwords, use_matmul = _acs_kernel(trellis, T, Bt, hard)
 
-    grid = (B // Bt,)
+    in_specs = [
+        pl.BlockSpec((T, M, Bt), lambda i: (0, 0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((S, Bt), lambda i: (0, i), memory_space=pltpu.VMEM),
+    ]
+    operands = [dists_tmb.astype(jnp.float32), init_sb.astype(jnp.float32)]
+    if use_matmul:
+        P0, P1, E0, E1, _, _ = _tables(trellis)
+        for tab in (P0, P1, E0, E1):
+            in_specs.append(pl.BlockSpec(
+                tab.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
+            operands.append(jnp.asarray(tab))
+
     fm, dec = pl.pallas_call(
         kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((T, M, Bt), lambda i: (0, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, Bt), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
+        grid=(B // Bt,),
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((S, Bt), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((T, nwords, Bt), lambda i: (0, 0, i),
@@ -154,7 +188,7 @@ def acs_forward_pallas(trellis: Trellis, dists_tmb: jnp.ndarray,
             jax.ShapeDtypeStruct((T, nwords, B), jnp.int32),
         ],
         interpret=interpret,
-    )(dists_tmb.astype(jnp.float32), init_sb.astype(jnp.float32))
+    )(*operands)
     return fm, dec
 
 
