@@ -112,17 +112,23 @@ def _acs_kernel(trellis: Trellis, T: int, Bt: int, hard: bool):
     if use_matmul:
         # one-hot selection on the MXU; P/E matrices arrive as inputs
         # (pallas rejects array-valued closure constants)
+        # NOTE: precision=HIGHEST is required — the default MXU f32 path
+        # truncates inputs to bf16, which corrupts grown path metrics on
+        # long frames; HIGHEST's bf16x3 decomposition makes one-hot
+        # selection exact (24-bit mantissa = 3 exact bf16 splits).
+        HI = jax.lax.Precision.HIGHEST
+
         def kernel(dists_ref, init_ref, p0_ref, p1_ref, e0_ref, e1_ref,
                    fm_ref, dec_ref):
             def body(t, metrics):
                 bm = dists_ref[t]                           # [M, Bt]
-                cand0 = jnp.dot(p0_ref[:], metrics,
+                cand0 = jnp.dot(p0_ref[:], metrics, precision=HI,
                                 preferred_element_type=jnp.float32) \
-                    + jnp.dot(e0_ref[:], bm,
+                    + jnp.dot(e0_ref[:], bm, precision=HI,
                               preferred_element_type=jnp.float32)
-                cand1 = jnp.dot(p1_ref[:], metrics,
+                cand1 = jnp.dot(p1_ref[:], metrics, precision=HI,
                                 preferred_element_type=jnp.float32) \
-                    + jnp.dot(e1_ref[:], bm,
+                    + jnp.dot(e1_ref[:], bm, precision=HI,
                               preferred_element_type=jnp.float32)
                 return finish(cand0, cand1, dec_ref, t)
 

@@ -110,6 +110,44 @@ def streaming_viterbi_decode(code: Code, dists: jnp.ndarray, mesh: Mesh,
     return run(dists)
 
 
+def long_frame_decode_pallas(code: Code, dists: jnp.ndarray,
+                             chunk: int = 256, block_lanes: int = 512
+                             ) -> jnp.ndarray:
+    """Single-chip long-frame decode with bounded VMEM: scan over time
+    chunks, each chunk a VMEM-resident Pallas ACS call whose start metrics
+    carry over from the previous chunk; packed decisions stream to HBM and
+    a gather-free traceback walks the whole frame.  This is the on-chip
+    half of the streaming design (BASELINE.json config 3); across chips the
+    time blocks shard via :func:`streaming_viterbi_decode`.
+
+    Args:
+      dists: ``[B, T, 2^m]`` distance stream, T divisible by ``chunk``.
+    Returns: ``[B, T]`` decoded bits.
+    """
+    from convolutional_codes_tpu.ops.viterbi import traceback_from
+    from convolutional_codes_tpu.ops.viterbi_pallas import (
+        BIG_METRIC, acs_forward_pallas)
+
+    trellis = build_trellis(code)
+    B, T, M = dists.shape
+    if T % chunk:
+        raise ValueError(f"frame length {T} not divisible by chunk {chunk}")
+    S = trellis.num_states
+    d_tmb = jnp.transpose(dists.astype(jnp.float32), (1, 2, 0))
+    init = jnp.full((S, B), BIG_METRIC, jnp.float32).at[0, :].set(0.0)
+
+    def body(carry, dchunk):
+        fm, dec = acs_forward_pallas(trellis, dchunk, carry, False,
+                                     block_lanes=min(block_lanes, B))
+        return fm, dec
+
+    fm, decs = jax.lax.scan(body, init,
+                            d_tmb.reshape(T // chunk, chunk, M, B))
+    decisions = decs.reshape(T, -1, B)
+    end_state = jnp.argmin(fm, axis=0).astype(jnp.int32)
+    return traceback_from(trellis, decisions, end_state)
+
+
 def monolithic_reference_decode(code: Code, dists: jnp.ndarray) -> jnp.ndarray:
     """Single-program long-frame decode (ground truth for boundary checks)."""
     trellis = build_trellis(code)

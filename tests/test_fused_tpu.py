@@ -60,3 +60,41 @@ def test_noiseless_is_exact():
     assert ber == 0.0
     ber2, _ = _ber("bsc", 0.0, B=4096, NS=1)
     assert ber2 == 0.0
+
+
+def test_k7_pallas_matches_xla_on_device():
+    """Guards against MXU precision regressions: the one-hot matmul path
+    must be bit-identical to the XLA decode on real hardware (default MXU
+    f32 truncates to bf16 — requires Precision.HIGHEST)."""
+    from convolutional_codes_tpu.ops.viterbi import viterbi_decode_soft
+
+    code = get_code("nasa-k7")
+    key = jax.random.PRNGKey(3)
+    dists = jax.random.uniform(
+        key, (512, code.num_block_symbols, code.points_per_symbol)) * 10.0
+    a = np.asarray(viterbi_decode_soft(code, dists, backend="pallas"))
+    b = np.asarray(viterbi_decode_soft(code, dists, backend="xla"))
+    assert np.array_equal(a, b)
+
+
+def test_long_frame_chunked_decode_on_device():
+    from convolutional_codes_tpu.ops.channels import awgn
+    from convolutional_codes_tpu.ops.demapper import soft_demap
+    from convolutional_codes_tpu.ops.encoder import encode_stream
+    from convolutional_codes_tpu.ops.mapper import map_symbols
+    from convolutional_codes_tpu.parallel.streaming import (
+        long_frame_decode_pallas, monolithic_reference_decode)
+
+    code = get_code("nasa-k7")
+    B, T = 256, 2048
+    L = T - (code.constraint_length - 1)
+    key = jax.random.PRNGKey(9)
+    kb, kn = jax.random.split(key)
+    bits = jax.random.bernoulli(kb, 0.5, (B, L)).astype(jnp.int32)
+    syms = encode_stream(code, bits, terminate=True)
+    rx = awgn(kn, map_symbols(code, syms), awgn_sigma(4.0))
+    dists = soft_demap(code.symlen_out, rx)
+    out = np.asarray(long_frame_decode_pallas(code, dists))
+    mono = np.asarray(monolithic_reference_decode(code, dists[:32]))
+    assert np.array_equal(out[:32], mono)
+    assert (out[:, :L] != np.asarray(bits)).mean() < 1e-3

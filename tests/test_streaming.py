@@ -65,3 +65,34 @@ def test_streaming_ber_reasonable_at_low_snr():
     ber_mono = (mono != b).mean()
     ber_stream = (stream != b).mean()
     assert abs(ber_stream - ber_mono) < 0.01, (ber_stream, ber_mono)
+
+
+def test_long_frame_chunked_pallas_matches_monolithic():
+    """Chunked VMEM-bounded decode (interpret mode) == monolithic XLA."""
+    import jax.numpy as jnp
+    from convolutional_codes_tpu.models.trellis import build_trellis
+    from convolutional_codes_tpu.ops.viterbi import traceback_from
+    from convolutional_codes_tpu.ops.viterbi_pallas import (
+        BIG_METRIC, acs_forward_pallas)
+
+    code = get_code("nasa-k7")
+    tr = build_trellis(code)
+    B, Tt = 128, 512
+    L = Tt - (code.constraint_length - 1)
+    bits, dists = _noisy_frame(code, B=B, L=L, snr_db=3.0, seed=21)
+    mono = np.asarray(monolithic_reference_decode(code, dists))
+
+    d_tmb = jnp.transpose(dists.astype(jnp.float32), (1, 2, 0))
+    init = jnp.full((tr.num_states, B), BIG_METRIC, jnp.float32).at[0, :].set(0.0)
+    chunk = 128
+    decs = []
+    carry = init
+    for c in range(Tt // chunk):
+        carry, dec = acs_forward_pallas(
+            tr, d_tmb[c * chunk:(c + 1) * chunk], carry, False,
+            block_lanes=128, interpret=True)
+        decs.append(dec)
+    decisions = jnp.concatenate(decs, axis=0)
+    end_state = jnp.argmin(carry, axis=0).astype(jnp.int32)
+    out = np.asarray(traceback_from(tr, decisions, end_state))
+    assert np.array_equal(out, mono)
