@@ -53,7 +53,7 @@ _BACKTRACK = jnp.int8(1)
 
 
 def _fano_decode(code: Code, symbols: jnp.ndarray, soft: bool,
-                 timeout_per_bit: int, unroll: int = 4) -> jnp.ndarray:
+                 timeout_per_bit: int, unroll: int = 4):
     B = symbols.shape[0]
     T = code.num_block_symbols
     branch = make_branch_fn(code)
@@ -205,18 +205,49 @@ def _fano_decode(code: Code, symbols: jnp.ndarray, soft: bool,
              cur, threshold, timeout, mode, done)
     carry = jax.lax.while_loop(cond, body_n, carry)
     decoded = carry[7]
-    return decoded[:, : code.block_length].astype(jnp.int32)
+    # per-frame diagnostics (the reference exposes the final metric through
+    # the BSC callback and a compile-time VERBOSE trace; here it is data):
+    # metric of the deepest settled node, remaining timeout budget, depth.
+    diag = {
+        "metric": jnp.take_along_axis(carry[1], carry[8][:, None], axis=1)[:, 0],
+        "timeout_left": carry[10],
+        "depth": carry[8],
+        "timed_out": carry[10] == 0,
+    }
+    return decoded[:, : code.block_length].astype(jnp.int32), diag
 
 
 @partial(jax.jit, static_argnums=(0, 2))
 def fano_decode_soft(code: Code, distances: jnp.ndarray,
                      timeout_per_bit: int = FANO_TIMEOUT) -> jnp.ndarray:
     """``[B, T, 2^m]`` demapper distances → ``[B, block_len]`` decoded bits."""
-    return _fano_decode(code, distances.astype(jnp.float32), True, timeout_per_bit)
+    bits, _ = _fano_decode(code, distances.astype(jnp.float32), True,
+                           timeout_per_bit)
+    return bits
 
 
 @partial(jax.jit, static_argnums=(0, 2))
 def fano_decode_hard(code: Code, received: jnp.ndarray,
                      timeout_per_bit: int = FANO_TIMEOUT) -> jnp.ndarray:
     """``[B, T]`` received symbols → ``[B, block_len]`` decoded bits."""
-    return _fano_decode(code, received.astype(jnp.int32), False, timeout_per_bit)
+    bits, _ = _fano_decode(code, received.astype(jnp.int32), False,
+                           timeout_per_bit)
+    return bits
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def fano_decode_soft_with_diag(code: Code, distances: jnp.ndarray,
+                               timeout_per_bit: int = FANO_TIMEOUT):
+    """Like :func:`fano_decode_soft` but also returns per-frame diagnostics
+    {metric, timeout_left, depth, timed_out} — the observable state the
+    reference exposes via its VERBOSE trace and metric callback
+    (binary-symmetric-channel/fano-decoder.c:16-20, :313)."""
+    return _fano_decode(code, distances.astype(jnp.float32), True,
+                        timeout_per_bit)
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def fano_decode_hard_with_diag(code: Code, received: jnp.ndarray,
+                               timeout_per_bit: int = FANO_TIMEOUT):
+    return _fano_decode(code, received.astype(jnp.int32), False,
+                        timeout_per_bit)

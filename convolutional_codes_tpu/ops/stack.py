@@ -20,8 +20,7 @@ TPU formulation: all frames advance in lockstep inside one
 ``lax.while_loop``.  Per iteration each frame performs exactly one reference
 loop step — either "accept next symbol" (best path caught up) or "extend
 best path" — so the per-frame serialization is bit-identical to the C
-decoder while the work vectorizes over ``[batch, 64]`` lanes.  The decoded
-paths live as ``[batch, 64, T]`` int8; duplication is a row gather+scatter.
+decoder while the work vectorizes over ``[batch, 64]`` lanes.
 Encoder states are uint32 (covers K <= 32, including WSPR's 31-bit states).
 """
 
@@ -161,16 +160,27 @@ def _stack_decode(code: Code, symbols: jnp.ndarray, soft: bool,
     packed = bits[arangeB, cur]                                 # [B, nwords]
     t_idx = jnp.arange(code.block_length)
     unpacked = (packed[:, t_idx >> 5] >> (t_idx & 31)[None, :]) & 1
-    return unpacked.astype(jnp.int32)
+    win_metric = metric[arangeB, cur]
+    return unpacked.astype(jnp.int32), win_metric
 
 
 @partial(jax.jit, static_argnums=(0,))
 def stack_decode_soft(code: Code, distances: jnp.ndarray) -> jnp.ndarray:
     """``[B, T, 2^m]`` demapper distances → ``[B, block_len]`` decoded bits."""
-    return _stack_decode(code, distances.astype(jnp.float32), soft=True)
+    bits, _ = _stack_decode(code, distances.astype(jnp.float32), soft=True)
+    return bits
 
 
 @partial(jax.jit, static_argnums=(0,))
 def stack_decode_hard(code: Code, received: jnp.ndarray) -> jnp.ndarray:
     """``[B, T]`` received symbols → ``[B, block_len]`` decoded bits."""
+    bits, _ = _stack_decode(code, received.astype(jnp.int32), soft=False)
+    return bits
+
+
+@partial(jax.jit, static_argnums=(0,))
+def stack_decode_hard_with_metric(code: Code, received: jnp.ndarray):
+    """Hard stack decode also returning the winning path metric (the value
+    the reference's BSC callback carries,
+    binary-symmetric-channel/include/decoder.h:9)."""
     return _stack_decode(code, received.astype(jnp.int32), soft=False)

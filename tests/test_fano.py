@@ -42,3 +42,22 @@ def test_noiseless_roundtrip(idx):
     np.put_along_axis(dists, syms[..., None], 0.0, axis=-1)
     dec2 = fano_decode_soft(code, dists)
     assert np.array_equal(np.asarray(dec2), bits)
+
+
+def test_diagnostics_report_timeouts_and_metric():
+    from convolutional_codes_tpu.ops.fano import fano_decode_soft_with_diag
+
+    code = get_code(0)
+    rng = np.random.default_rng(4)
+    M, T = code.points_per_symbol, code.num_block_symbols
+    # random garbage distances: most frames should burn the budget
+    dists = rng.random((4, T, M)).astype(np.float32) * 8.0
+    bits, diag = fano_decode_soft_with_diag(code, dists, 50)
+    assert diag["timeout_left"].shape == (4,)
+    assert bool(np.asarray(diag["timed_out"]).any())
+    # noiseless: no timeout, full depth would have emitted at T
+    syms = np.asarray(encode(code, rng.integers(0, 2, size=(4, code.block_length))))
+    clean = np.ones(syms.shape + (M,), np.float32)
+    np.put_along_axis(clean, syms[..., None], 0.0, axis=-1)
+    bits2, diag2 = fano_decode_soft_with_diag(code, clean)
+    assert not bool(np.asarray(diag2["timed_out"]).any())

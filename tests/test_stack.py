@@ -42,3 +42,23 @@ def test_noiseless_roundtrip(idx):
     np.put_along_axis(dists, syms[..., None], 0.0, axis=-1)
     dec2 = stack_decode_soft(code, dists)
     assert np.array_equal(np.asarray(dec2), bits)
+
+
+def test_hard_metric_matches_golden_model():
+    """The winning path metric mirrors what the reference's BSC callback
+    carries (binary-symmetric-channel/include/decoder.h:9)."""
+    import golden_model as gm
+    from convolutional_codes_tpu.ops.stack import stack_decode_hard_with_metric
+
+    code = get_code(0)
+    rng = np.random.default_rng(13)
+    rx = rng.integers(0, 4, size=(16, code.num_block_symbols))
+    bits, metric = stack_decode_hard_with_metric(code, rx)
+    for b in range(rx.shape[0]):
+        paths_bits = gm.stack_hard(code, rx[b])
+        assert np.array_equal(np.asarray(bits)[b], paths_bits)
+    # metric sanity: noiseless decode has metric == symlen*correct*T
+    syms = np.asarray(encode(code, rng.integers(0, 2, size=(4, code.block_length))))
+    _, m0 = stack_decode_hard_with_metric(code, syms)
+    expect = code.num_block_symbols * code.symlen_out * code.bit_metrics[0]
+    assert np.all(np.asarray(m0) == expect)

@@ -83,8 +83,21 @@ CONFIGS = {
                       "ber_coded_a", "bsc"),
     "uncoded_2": (dict(code=0, channel="uncoded"), "ber_uncoded_2", "awgn"),
     "uncoded_3": (dict(code=5, channel="uncoded"), "ber_uncoded_3", "awgn"),
-    # sequential decoders: spot-check grids (full low-SNR sweeps are
+    # sequential decoders: reduced grids (full low-SNR sweeps are
     # lockstep-slow; see CLAUDE.md)
+    **{f"awgn_stack_{dm}_{i}": (dict(code=i, channel="awgn", decoder="stack",
+                                     demapper=dm,
+                                     points=[4.0, 6.0, 8.0],
+                                     frames_per_step=8192),
+                                f"ber_coded_{c}{'h' if dm == 'hard' else ''}_stack",
+                                "awgn")
+       for dm in ("soft", "hard")
+       for c, i in zip("abcde", [0, 1, 2, 3, 5]) if not (dm == "soft" and i == 0)},
+    "bsc_stack_full_0": (dict(code=0, channel="bsc", decoder="stack",
+                              points=[0.003125, 0.00625, 0.0125, 0.025,
+                                      0.05, 0.1],
+                              frames_per_step=8192),
+                         "ber_coded_a_stack", "bsc"),
     "awgn_stack_soft_0": (dict(code=0, channel="awgn", decoder="stack",
                                points=[4.0, 6.0, 8.0], bits_per_point=4e5,
                                frames_per_step=4096),
