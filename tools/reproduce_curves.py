@@ -114,6 +114,15 @@ CONFIGS = {
                               points=[6.0, 8.0], bits_per_point=1e5,
                               frames_per_step=2048),
                          "ber_coded_a_fano", "awgn"),
+    **{f"awgn_fano_soft_{i}": (dict(code=i, channel="awgn", decoder="fano",
+                                    points=[6.0, 8.0], bits_per_point=1e5,
+                                    frames_per_step=2048),
+                               f"ber_coded_{c}_fano", "awgn")
+       for c, i in zip("bcde", [1, 2, 3, 5])},
+    "bsc_fano_0": (dict(code=0, channel="bsc", decoder="fano",
+                        points=[0.0125, 0.05], bits_per_point=1e5,
+                        frames_per_step=2048),
+                   "ber_coded_a_fano", "bsc"),
 }
 
 
