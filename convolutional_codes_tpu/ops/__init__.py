@@ -11,4 +11,12 @@ __all__ = ["encode", "map_symbols", "map_symbols_m",
            "awgn", "bsc", "awgn_sigma",
            "viterbi_decode_soft", "viterbi_decode_hard",
            "stack_decode_soft", "stack_decode_hard",
-           "fano_decode_soft", "fano_decode_hard"]
+           "fano_decode_soft", "fano_decode_hard",
+           "mc_chain_viterbi"]
+
+
+def mc_chain_viterbi(*args, **kwargs):
+    """Fused on-chip Monte-Carlo kernel (TPU only) — lazy import so the CPU
+    path never touches Pallas."""
+    from convolutional_codes_tpu.ops.fused_chain import mc_chain_viterbi as f
+    return f(*args, **kwargs)
