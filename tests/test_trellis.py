@@ -70,3 +70,22 @@ def test_registry():
     with pytest.raises(ValueError):
         Code(name="bad", symlen_out=2, constraint_length=3, block_length=10,
              polynomials=(0b1011, 0b11))  # poly too wide for K=3
+
+
+def test_user_defined_code_end_to_end():
+    """User extension flow (reference Readme.md:19): register a custom code
+    and run the full encode → decode round trip."""
+    import jax.numpy as jnp
+    from convolutional_codes_tpu.models.codebook import register_code
+    from convolutional_codes_tpu.ops.encoder import encode
+    from convolutional_codes_tpu.ops.viterbi import viterbi_decode_hard
+
+    custom = Code(name="custom-k4", symlen_out=2, constraint_length=4,
+                  block_length=24, polynomials=(0o15, 0o17), parity="true")
+    register_code("custom-k4", custom, overwrite=True)
+    rng = np.random.default_rng(8)
+    bits = rng.integers(0, 2, size=(8, 24))
+    syms = encode(custom, jnp.asarray(bits))
+    dec, metric = viterbi_decode_hard(custom, syms)
+    assert np.array_equal(np.asarray(dec), bits)
+    assert np.all(np.asarray(metric) == 0)
