@@ -52,8 +52,10 @@ _SEARCH = jnp.int8(0)
 _BACKTRACK = jnp.int8(1)
 
 
-def _fano_decode(code: Code, symbols: jnp.ndarray, soft: bool,
-                 timeout_per_bit: int, unroll: int = 4):
+def _fano_parts(code: Code, symbols: jnp.ndarray, soft: bool,
+                timeout_per_bit: int, unroll: int = 4):
+    """Build (initial carry, cond, unrolled body) for the fano machine —
+    shared by the run-to-completion and chunked-dispatch drivers."""
     B = symbols.shape[0]
     T = code.num_block_symbols
     branch = make_branch_fn(code)
@@ -203,7 +205,10 @@ def _fano_decode(code: Code, symbols: jnp.ndarray, soft: bool,
 
     carry = (nstate, nmetric, succ0, succ1, tm0, tm1, selected, decoded,
              cur, threshold, timeout, mode, done)
-    carry = jax.lax.while_loop(cond, body_n, carry)
+    return carry, cond, body_n
+
+
+def _fano_extract(code: Code, carry):
     decoded = carry[7]
     # per-frame diagnostics (the reference exposes the final metric through
     # the BSC callback and a compile-time VERBOSE trace; here it is data):
@@ -215,6 +220,52 @@ def _fano_decode(code: Code, symbols: jnp.ndarray, soft: bool,
         "timed_out": carry[10] == 0,
     }
     return decoded[:, : code.block_length].astype(jnp.int32), diag
+
+
+def _fano_decode(code: Code, symbols: jnp.ndarray, soft: bool,
+                 timeout_per_bit: int, unroll: int = 4):
+    carry, cond, body_n = _fano_parts(code, symbols, soft, timeout_per_bit,
+                                      unroll)
+    carry = jax.lax.while_loop(cond, body_n, carry)
+    return _fano_extract(code, carry)
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4, 5, 6))
+def _fano_chunk(code: Code, symbols, carry, soft: bool, timeout_per_bit: int,
+                unroll: int, iters: int):
+    _, cond, body_n = _fano_parts(code, symbols, soft, timeout_per_bit,
+                                  unroll)
+
+    def guarded(_, c):
+        return jax.lax.cond(cond(c), body_n, lambda x: x, c)
+
+    return jax.lax.fori_loop(0, iters, guarded, carry)
+
+
+@jax.jit
+def _not_done(done):
+    return ~jnp.all(done)
+
+
+def fano_decode_chunked(code: Code, symbols: jnp.ndarray, soft: bool,
+                        timeout_per_bit: int = FANO_TIMEOUT,
+                        iters_per_dispatch: int = 16384,
+                        with_diag: bool = False):
+    """Fano decode as a host loop of bounded device dispatches.
+
+    Identical per-frame serialization to :func:`fano_decode_soft`/``_hard``
+    (the machine state simply round-trips through the host loop), but no
+    single device program runs longer than ``iters_per_dispatch`` unrolled
+    steps — required on backends that kill long-running dispatches (see
+    CLAUDE.md).  Not jittable as a whole; each chunk is jit-cached.
+    """
+    symbols = symbols.astype(jnp.float32 if soft else jnp.int32)
+    carry, _, _ = _fano_parts(code, symbols, soft, timeout_per_bit)
+    while bool(_not_done(carry[-1])):
+        carry = _fano_chunk(code, symbols, carry, soft, timeout_per_bit,
+                            4, iters_per_dispatch)
+    bits, diag = _fano_extract(code, carry)
+    return (bits, diag) if with_diag else bits
 
 
 @partial(jax.jit, static_argnums=(0, 2))

@@ -11,11 +11,13 @@ throughput} — the observability the reference only printf'd (SURVEY.md §5).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
 import time
 from typing import List, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from convolutional_codes_tpu.models.codebook import Code, get_code
@@ -107,6 +109,56 @@ class PointRecord:
         return dataclasses.asdict(self)
 
 
+@functools.lru_cache(maxsize=None)
+def _fano_front(code: Code, channel: str, demapper: str, frames: int):
+    """Jitted bits→symbols→channel front for the host-looped fano path."""
+    from convolutional_codes_tpu.ops.channels import awgn, bsc
+    from convolutional_codes_tpu.ops.demapper import hard_demap, soft_demap
+    from convolutional_codes_tpu.ops.encoder import encode
+    from convolutional_codes_tpu.ops.mapper import map_symbols
+
+    L, m = code.block_length, code.symlen_out
+
+    @jax.jit
+    def front(key, param):
+        kb, kc = jax.random.split(key)
+        bits = jax.random.bernoulli(kb, 0.5, (frames, L)).astype(jnp.int32)
+        syms = encode(code, bits)
+        if channel == "awgn":
+            rx = awgn(kc, map_symbols(code, syms), param)
+            demap = soft_demap if demapper == "soft" else hard_demap
+            out = demap(m, rx)
+        else:
+            out = bsc(kc, syms, param, num_bits=m)
+        return bits, out
+
+    return front
+
+
+def _fano_host_accumulate(code: Code, spec: SweepSpec, param, nsteps: int,
+                          pkey, chunk_idx: int):
+    """Fano accumulation as a host loop of bounded dispatches — a single
+    lockstep fano dispatch can exceed the backend's tolerated program
+    runtime (see CLAUDE.md), so the decode round-trips its machine state
+    through the host instead of scanning on-device."""
+    from convolutional_codes_tpu.ops.fano import fano_decode_chunked
+
+    front = _fano_front(code, spec.channel, spec.demapper,
+                        spec.frames_per_step)
+    L = code.block_length
+    be = fe = nb = 0
+    for i in range(nsteps):
+        key = jax.random.fold_in(jax.random.fold_in(pkey, chunk_idx), i)
+        bits, rx = front(key, jnp.float32(param))
+        dec = fano_decode_chunked(code, rx, soft=spec.channel == "awgn",
+                                  timeout_per_bit=spec.timeout_per_bit)
+        err = dec != bits
+        be += int(err.sum())
+        fe += int(err.any(axis=1).sum())
+        nb += spec.frames_per_step * L
+    return be, fe, nb
+
+
 def run_sweep(spec: SweepSpec, mesh=None, checkpoint_path: Optional[str] = None,
               verbose: bool = True) -> List[PointRecord]:
     """Run the sweep, optionally sharded over ``mesh`` ('frames' axis) and
@@ -174,9 +226,15 @@ def run_sweep(spec: SweepSpec, mesh=None, checkpoint_path: Optional[str] = None,
         be = fe = nb = 0
         left = nsteps
         ci = 0
+        # host-looped fano on TPU (bounded dispatches; CLAUDE.md)
+        fano_host = (spec.decoder == "fano" and spec.channel != "uncoded"
+                     and jax.default_backend() == "tpu")
         while left > 0:
             n = min(chunk, left)
-            if use_fused:
+            if fano_host:
+                cbe, cfe, cnb = _fano_host_accumulate(
+                    code, spec, param, n, pkey, ci)
+            elif use_fused:
                 seed_i = (spec.seed * 1000003 + i * 7919 + ci) & 0x7FFFFFFF
                 cbe, cfe, cnb = fused_mc_accumulate(
                     code, n, seed_i, param, fused_batch, mesh,
