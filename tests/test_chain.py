@@ -76,3 +76,27 @@ def test_bsc_statistics_and_masking():
     assert abs(rate - 0.1) < 0.005
     rx0 = np.asarray(bsc(key, syms, 0.0, num_bits=2))
     assert np.array_equal(rx0, np.asarray(syms))
+
+
+def test_bpsk_symlen1_code_end_to_end():
+    """Constellation 1 (diagonal BPSK) through the full chain with a
+    user-defined rate-1/1 K=3 code — the reference ships the table
+    (constellations.c:8-11) but no code reaches it."""
+    import jax
+    from convolutional_codes_tpu.models.codebook import Code, register_code
+    from convolutional_codes_tpu.ops.encoder import encode
+    from convolutional_codes_tpu.ops.viterbi import viterbi_decode_soft
+
+    bpsk_code = Code(name="bpsk-k3", symlen_out=1, constraint_length=3,
+                     block_length=32, polynomials=(0b111,), parity="true")
+    register_code("bpsk-k3", bpsk_code, overwrite=True)
+    key = jax.random.PRNGKey(6)
+    bits = jax.random.bernoulli(key, 0.5, (16, 32)).astype(jnp.int32)
+    syms = encode(bpsk_code, bits)
+    iq = map_symbols(bpsk_code, syms)
+    assert np.asarray(iq).shape == (16, 34, 2)
+    rx = awgn(key, iq, awgn_sigma(6.0))
+    dists = soft_demap(1, rx)
+    dec = viterbi_decode_soft(bpsk_code, dists)
+    # rate-1 repetition-free code still decodes mostly correctly at 6 dB
+    assert float((np.asarray(dec) != np.asarray(bits)).mean()) < 0.1
