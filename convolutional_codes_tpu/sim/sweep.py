@@ -78,6 +78,7 @@ class SweepSpec:
     base_bits: float = 8e8                # tier base (reference default)
     seed: int = 0
     timeout_per_bit: int = FANO_TIMEOUT
+    trace_dir: Optional[str] = None       # XProf trace output (None = off)
 
     def resolve_code(self) -> Code:
         return self.code if isinstance(self.code, Code) else get_code(self.code)
@@ -98,10 +99,10 @@ class PointRecord:
     param: float            # sigma or crossover actually applied
     bits: int
     bit_errors: int
-    frame_errors: int
-    frames: int
+    frame_errors: int       # uncoded: symbol errors (frame == one symbol)
+    frames: int             # uncoded: symbols
     ber: float
-    fer: float
+    fer: float              # uncoded: symbol error rate
     wall_s: float
     bits_per_s: float
 
@@ -135,28 +136,81 @@ def _fano_front(code: Code, channel: str, demapper: str, frames: int):
     return front
 
 
-def _fano_host_accumulate(code: Code, spec: SweepSpec, param, nsteps: int,
-                          pkey, chunk_idx: int):
-    """Fano accumulation as a host loop of bounded dispatches — a single
-    lockstep fano dispatch can exceed the backend's tolerated program
-    runtime (see CLAUDE.md), so the decode round-trips its machine state
-    through the host instead of scanning on-device."""
-    from convolutional_codes_tpu.ops.fano import fano_decode_chunked
+def _sequential_host_accumulate(code: Code, spec: SweepSpec, param,
+                                nsteps: int, pkey, chunk_idx: int,
+                                interpret: bool = False):
+    """Stack/Fano accumulation as a host loop of bounded dispatches.
+
+    The sequential decoders run in the VMEM-resident Pallas kernels
+    (ops/stack_pallas.py, ops/fano_pallas.py) whose decode loop is
+    host-chunked — a single lockstep dispatch could otherwise exceed the
+    backend's tolerated program runtime (see CLAUDE.md) — so the
+    accumulation cannot live inside one jitted scan like the Viterbi path.
+    Batches feed a :class:`SequentialPool`: each batch runs until its fast
+    bulk is decoded, straggler frames (deep backtracking / Fano
+    timeout-bound) accumulate in a carry buffer decoded in lockstep when
+    full — the whole point pays one straggler tail, not one per batch."""
+    from convolutional_codes_tpu.ops import fano_pallas as fp
+    from convolutional_codes_tpu.ops import stack_pallas as sp
+    from convolutional_codes_tpu.ops.seq_chunking import SequentialPool
 
     front = _fano_front(code, spec.channel, spec.demapper,
                         spec.frames_per_step)
+    soft = spec.channel == "awgn"
     L = code.block_length
-    be = fe = nb = 0
+    T = code.num_block_symbols
+    B = spec.frames_per_step
+    Bt = 128
+    Bp = -(-B // Bt) * Bt
+    fano = spec.decoder == "fano"
+
+    if fano:
+        call = fp._fano_call(code, T, Bp, Bt, soft, interpret)
+        done_sel = (2, fp._DONE)
+    else:
+        call = sp._stack_call(code, T, Bp, Bt, soft, interpret)
+        done_sel = (4, 2)
+
+    tx_store = {}                   # batch idx -> [tx bits [B, L], outstanding]
+    tot = [0, 0, 0]                 # bit errors, frame errors, bits
+
+    def collect(frame_ids, lanes, state):
+        lanes_d = jnp.asarray(lanes)
+        if fano:
+            dec = np.asarray(
+                jnp.take(state[0][fp._DECODED], lanes_d, axis=-1)[:L].T)
+        else:
+            bits_full, _ = sp._extract(code, state[2], state[3], soft,
+                                       state[4])
+            dec = np.asarray(jnp.take(bits_full, lanes_d, axis=0))
+        bidx = frame_ids // B
+        fin = frame_ids % B
+        for bi in np.unique(bidx):
+            m = bidx == bi
+            entry = tx_store[bi]
+            err = dec[m] != entry[0][fin[m]]
+            tot[0] += int(err.sum())
+            tot[1] += int(err.any(axis=1).sum())
+            entry[1] -= int(m.sum())
+            if entry[1] == 0:
+                del tx_store[bi]
+
+    pool = SequentialPool(call, done_sel, collect, block_lanes=Bt,
+                          what=f"{spec.decoder}_{code.name}")
     for i in range(nsteps):
         key = jax.random.fold_in(jax.random.fold_in(pkey, chunk_idx), i)
         bits, rx = front(key, jnp.float32(param))
-        dec = fano_decode_chunked(code, rx, soft=spec.channel == "awgn",
-                                  timeout_per_bit=spec.timeout_per_bit)
-        err = dec != bits
-        be += int(err.sum())
-        fe += int(err.any(axis=1).sum())
-        nb += spec.frames_per_step * L
-    return be, fe, nb
+        tx_store[i] = [np.asarray(bits), B]
+        syms = sp.pack_syms(code, rx, soft, Bp)
+        if fano:
+            state = fp._pack_init(code, rx, soft, spec.timeout_per_bit, Bp)
+        else:
+            state = sp._init_state(code, Bp, B)
+        pool.submit(syms, state, np.arange(i * B, i * B + B))
+        tot[2] += B * L
+    pool.flush()
+    assert not tx_store, "pool lost frames"
+    return tuple(tot)
 
 
 def run_sweep(spec: SweepSpec, mesh=None, checkpoint_path: Optional[str] = None,
@@ -165,6 +219,8 @@ def run_sweep(spec: SweepSpec, mesh=None, checkpoint_path: Optional[str] = None,
     resumable via a JSON checkpoint of per-point counters (the reference has
     no resume story — every block is independent, so (seed, counters) is the
     complete state, SURVEY.md §5)."""
+    from convolutional_codes_tpu.utils.profiling import annotate, trace
+
     code = spec.resolve_code()
     points = spec.resolve_points()
     ndev = frames_axis_size(mesh)
@@ -226,28 +282,40 @@ def run_sweep(spec: SweepSpec, mesh=None, checkpoint_path: Optional[str] = None,
         be = fe = nb = 0
         left = nsteps
         ci = 0
-        # host-looped fano on TPU (bounded dispatches; CLAUDE.md)
-        fano_host = (spec.decoder == "fano" and spec.channel != "uncoded"
-                     and jax.default_backend() == "tpu")
-        while left > 0:
-            n = min(chunk, left)
-            if fano_host:
-                cbe, cfe, cnb = _fano_host_accumulate(
-                    code, spec, param, n, pkey, ci)
-            elif use_fused:
-                seed_i = (spec.seed * 1000003 + i * 7919 + ci) & 0x7FFFFFFF
-                cbe, cfe, cnb = fused_mc_accumulate(
-                    code, n, seed_i, param, fused_batch, mesh,
-                    channel=spec.channel, demapper=spec.demapper)
-            else:
-                cbe, cfe, cnb = sharded_accumulate(
-                    step, n, jax.random.fold_in(pkey, ci), param, mesh)
-            be += cbe; fe += cfe; nb += cnb
-            left -= n; ci += 1
+        # host-looped sequential decoders on TPU (Pallas kernels with
+        # bounded dispatches; CLAUDE.md)
+        seq_host = (spec.decoder in ("stack", "fano")
+                    and spec.channel != "uncoded"
+                    and jax.default_backend() == "tpu")
+        # per-point XProf capture (utils/profiling; no-op when trace_dir
+        # is unset) — the profiling story the reference solved with printf
+        pt_trace = (f"{spec.trace_dir}/point_{point:g}"
+                    if spec.trace_dir else None)
+        with trace(pt_trace), annotate(f"sweep_point_{point:g}"):
+            while left > 0:
+                n = min(chunk, left)
+                if seq_host:
+                    cbe, cfe, cnb = _sequential_host_accumulate(
+                        code, spec, param, n, pkey, ci)
+                elif use_fused:
+                    seed_i = (spec.seed * 1000003 + i * 7919 + ci) & 0x7FFFFFFF
+                    cbe, cfe, cnb = fused_mc_accumulate(
+                        code, n, seed_i, param, fused_batch, mesh,
+                        channel=spec.channel, demapper=spec.demapper)
+                else:
+                    cbe, cfe, cnb = sharded_accumulate(
+                        step, n, jax.random.fold_in(pkey, ci), param, mesh)
+                be += cbe; fe += cfe; nb += cnb
+                left -= n; ci += 1
         wall = time.time() - t0
 
+        # uncoded rows: no decoder runs (argmin symbol decision,
+        # uncoded/main.c:104-111) and the code tables are unused
+        uncoded = spec.channel == "uncoded"
         rec = PointRecord(
-            code=code.name, channel=spec.channel, decoder=spec.decoder,
+            code=f"uncoded-{code.symlen_out}bit" if uncoded else code.name,
+            channel=spec.channel,
+            decoder="argmin" if uncoded else spec.decoder,
             demapper=spec.demapper, point=float(point), param=param,
             bits=nb, bit_errors=be, frame_errors=fe,
             frames=nb // frame_bits, ber=be / nb, fer=fe / (nb // frame_bits),
