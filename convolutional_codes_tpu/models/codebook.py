@@ -217,6 +217,16 @@ def _register_builtins() -> None:
             metric_weight=-16.0, fano_metric_weight=-110.0,
             parity=PARITY_TRUE,
         ),
+        Code(  # K=15 rate-1/4 on Gray 16-QAM — BASELINE.json config 5
+            # (Fano + 16-QAM soft demapper); one coded 4-bit symbol per
+            # channel symbol, so Eb = Es like the reference mapped chains
+            name="k15-r14-16qam",
+            symlen_out=4, constraint_length=15, block_length=200,
+            polynomials=(0o42554, 0o77304, 0o56043, 0o61175),
+            bit_metrics=(1, -30), fano_bit_metrics=(1, -48),
+            metric_weight=-8.0, fano_metric_weight=-40.0,
+            parity=PARITY_TRUE,
+        ),
     ]
     for c in extensions:
         register_code(c.name, c)
