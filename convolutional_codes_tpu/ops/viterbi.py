@@ -161,7 +161,7 @@ def _pallas_eligible(trellis: Trellis, backend: str) -> bool:
         return False
     if backend == "pallas":
         return True
-    return jax.default_backend() == "tpu" and trellis.num_states <= 64
+    return jax.default_backend() == "tpu" and trellis.num_states <= 256
 
 
 def _decode_pallas(trellis: Trellis, bm: jnp.ndarray, hard: bool
@@ -171,7 +171,10 @@ def _decode_pallas(trellis: Trellis, bm: jnp.ndarray, hard: bool
 
     B = bm.shape[0]
     S = trellis.num_states
-    lanes = 1024 if B >= 1024 else 128
+    # big-state kernels halve the lane tile to keep VMEM residency
+    # (metrics + one-hot tables + packed decisions) under budget
+    max_lanes = 512 if S > 64 else 1024
+    lanes = max_lanes if B >= max_lanes else 128
     Bp = -(-B // lanes) * lanes
     bm_p = jnp.pad(bm, ((0, Bp - B), (0, 0), (0, 0))) if Bp != B else bm
     d_tmb = jnp.transpose(bm_p.astype(jnp.float32), (1, 2, 0))   # [T, M, Bp]

@@ -48,6 +48,12 @@ _LANES = 128
 #: (MXU matmuls on heavily padded tiny matrices would waste the array).
 _UNROLL_STATES = 64
 
+#: Kernel ceiling: one-hot matmul selection scales to 256 states (K <= 9,
+#: e.g. the K=9 stack-era Viterbi config); beyond that the [S, S] one-hot
+#: tables and the unrolled bit-packing stop paying for themselves — the
+#: XLA scan path takes over.
+_PALLAS_MAX_STATES = 256
+
 
 def _tables(trellis: Trellis):
     S = trellis.num_states
@@ -80,10 +86,10 @@ _MATMUL_STATES = 32
 def _acs_kernel(trellis: Trellis, T: int, Bt: int, hard: bool):
     _, _, _, _, nwords, _ = _tables(trellis)
     S = trellis.num_states
-    if S > _UNROLL_STATES:
+    if S > _PALLAS_MAX_STATES:
         raise NotImplementedError(
-            f"pallas ACS kernel supports up to {_UNROLL_STATES} states "
-            f"(K <= 7); got {S} — use the XLA path")
+            f"pallas ACS kernel supports up to {_PALLAS_MAX_STATES} states "
+            f"(K <= 9); got {S} — use the XLA path")
     use_matmul = S >= _MATMUL_STATES
     prev0 = trellis.prev_state[:, 0]
     prev1 = trellis.prev_state[:, 1]

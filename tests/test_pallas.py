@@ -14,7 +14,8 @@ from convolutional_codes_tpu.ops.viterbi_pallas import (
 
 
 @pytest.mark.parametrize("name,hard", [(0, False), (0, True),
-                                       ("nasa-k7", False), (3, True)])
+                                       ("nasa-k7", False), (3, True),
+                                       ("k9-r12", False), ("k9-r12", True)])
 def test_pallas_matches_xla(name, hard):
     code = get_code(name)
     tr = build_trellis(code)
@@ -48,9 +49,9 @@ def test_pallas_matches_xla(name, hard):
 
 
 def test_pallas_rejects_large_state_spaces():
-    code = get_code("k9-r12")  # S = 256
+    code = get_code("k15-r12")  # S = 16384 — beyond the kernel ceiling
     tr = build_trellis(code)
     with pytest.raises(NotImplementedError):
         acs_forward_pallas(tr, jnp.zeros((5, 4, 128), jnp.float32),
-                           jnp.zeros((256, 128), jnp.float32), False,
-                           block_lanes=128, interpret=True)
+                           jnp.zeros((tr.num_states, 128), jnp.float32),
+                           False, block_lanes=128, interpret=True)
