@@ -57,6 +57,8 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--octave", type=str, default=None)
         sp.add_argument("--checkpoint", type=str, default=None,
                         help="JSON checkpoint for resumable sweeps")
+        sp.add_argument("--trace", type=str, default=None, metavar="DIR",
+                        help="capture per-point XProf traces under DIR")
     return p
 
 
@@ -83,6 +85,7 @@ def main(argv=None) -> int:
         base_bits=8e8 * args.bits_scale,
         seed=args.seed,
         timeout_per_bit=getattr(args, "timeout_per_bit", 10000),
+        trace_dir=args.trace,
     )
     mesh = parse_mesh(args.mesh)
     code = get_code(args.code)
