@@ -37,6 +37,35 @@ from convolutional_codes_tpu.ops.viterbi_pallas import (
 _TWO_PI = 2.0 * math.pi
 
 
+def _lowbias32(x: jnp.ndarray) -> jnp.ndarray:
+    """32-bit avalanche hash (lowbias32) — interpret-mode PRNG fallback."""
+    x = x ^ (x >> 16)
+    x = x * np.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * np.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return x
+
+
+def _interp_bits(shape, base: jnp.ndarray, salt: int) -> jnp.ndarray:
+    """Counter-hash uint32 stream for ``interpret=True`` runs: the TPU
+    hardware PRNG (pltpu.prng_random_bits) has no CPU interpreter lowering,
+    so the multi-chip dryrun drives the fused kernel with this pure-jnp
+    generator instead.  Validation-only (kernel structure + sharding); the
+    TPU path always uses the hardware PRNG."""
+    n = int(np.prod(shape))
+    idx = jax.lax.iota(jnp.uint32, n).reshape(shape)
+    return _lowbias32(
+        _lowbias32(idx * np.uint32(0x9E3779B9) + base)
+        ^ np.uint32((salt * 0x85EBCA6B) & 0xFFFFFFFF))
+
+
+def _interp_uniform(shape, base: jnp.ndarray, salt: int) -> jnp.ndarray:
+    bits = _interp_bits(shape, base, salt) >> 1
+    return (bits.astype(jnp.int32).astype(jnp.float32)
+            * jnp.float32(2.0 ** -31) + jnp.float32(2.0 ** -32))
+
+
 def _uniform_from_bits(bits: jnp.ndarray) -> jnp.ndarray:
     """random bits → (0, 1) float32 uniforms, never 0.
 
@@ -52,7 +81,8 @@ def _uniform_from_bits(bits: jnp.ndarray) -> jnp.ndarray:
 
 
 def _mc_kernel(trellis: Trellis, T: int, L: int, Bt: int,
-               channel: str = "awgn", demapper: str = "soft"):
+               channel: str = "awgn", demapper: str = "soft",
+               interpret: bool = False):
     """Whole-Monte-Carlo-step kernel: bits→encode→channel→metrics→ACS→
     traceback→error counts, nsteps iterations, all resident in VMEM.  The
     only HBM traffic is the per-lane error counters.
@@ -93,21 +123,35 @@ def _mc_kernel(trellis: Trellis, T: int, L: int, Bt: int,
 
     def kernel(seed_ref, sigma_ref, nsteps_ref, err_ref, bits_ref, noise_ref,
                dec_ref, flips_ref):
-        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+        if interpret:
+            hbase = _lowbias32(
+                seed_ref[0].astype(jnp.uint32) * np.uint32(0x9E3779B9)
+                ^ (pl.program_id(0).astype(jnp.uint32) + np.uint32(1))
+                * np.uint32(0xC2B2AE35))
+        else:
+            pltpu.prng_seed(seed_ref[0], pl.program_id(0))
         param = sigma_ref[0]
         row_live = jax.lax.broadcasted_iota(jnp.int32, (T, Bt), 0) < L
         inv_nd = jnp.float32(1.0 / ndist)
 
         def one_step(step, carry):
             errs, ferrs = carry
+            if interpret:
+                sbase = hbase + step.astype(jnp.uint32) * np.uint32(0x85EBCA6B)
             # fresh info bits (tail rows forced to zero — encoder.c:112-115)
-            rnd = pltpu.bitcast(pltpu.prng_random_bits((T, Bt)), jnp.uint32)
+            if interpret:
+                rnd = _interp_bits((T, Bt), sbase, 0)
+            else:
+                rnd = pltpu.bitcast(pltpu.prng_random_bits((T, Bt)), jnp.uint32)
             bits_ref[:] = jnp.where(row_live, (rnd & 1).astype(jnp.int32), 0)
             if hard:
                 # per-coded-bit flip masks packed into a symbol-wide int
                 # (binary-symmetric-channel/main.c:61-68)
-                u = _uniform_from_bits(
-                    pltpu.prng_random_bits((symlen, T, Bt)))
+                if interpret:
+                    u = _interp_uniform((symlen, T, Bt), sbase, 1)
+                else:
+                    u = _uniform_from_bits(
+                        pltpu.prng_random_bits((symlen, T, Bt)))
                 fmask = jnp.zeros((T, Bt), jnp.uint32)
                 for k in range(symlen):
                     fk = (u[k] < param).astype(jnp.uint32)
@@ -115,7 +159,10 @@ def _mc_kernel(trellis: Trellis, T: int, L: int, Bt: int,
                 flips_ref[:] = fmask.astype(jnp.int32)
             else:
                 # bulk Box-Muller noise for the whole block
-                u = _uniform_from_bits(pltpu.prng_random_bits((2, T, Bt)))
+                if interpret:
+                    u = _interp_uniform((2, T, Bt), sbase, 2)
+                else:
+                    u = _uniform_from_bits(pltpu.prng_random_bits((2, T, Bt)))
                 r = jnp.sqrt(-2.0 * jnp.log(u[0]))
                 theta = jnp.float32(_TWO_PI) * u[1]
                 noise_ref[0] = r * jnp.cos(theta)
@@ -259,7 +306,8 @@ def mc_chain_viterbi(code: Code, batch: int, nsteps: int, seed, param,
     Bt = min(block_lanes, batch)
     if batch % Bt:
         raise ValueError(f"batch {batch} not divisible by tile {Bt}")
-    kernel, nwords = _mc_kernel(trellis, T, L, Bt, channel, demapper)
+    kernel, nwords = _mc_kernel(trellis, T, L, Bt, channel, demapper,
+                                interpret=interpret)
     errs = pl.pallas_call(
         kernel,
         grid=(batch // Bt,),

@@ -113,7 +113,7 @@ def sweep_grid_accumulate(step: StepFn, nsteps: int, key: jax.Array,
 
 @lru_cache(maxsize=None)
 def _fused_runner(code, batch: int, mesh: Optional[Mesh], channel: str,
-                  demapper: str = "soft"):
+                  demapper: str = "soft", interpret: bool = False):
     from convolutional_codes_tpu.ops.fused_chain import mc_chain_viterbi
 
     L = code.block_length
@@ -121,7 +121,7 @@ def _fused_runner(code, batch: int, mesh: Optional[Mesh], channel: str,
     def counts(seed, param, nsteps):
         be, fe = mc_chain_viterbi(code, batch, nsteps, seed, param, channel,
                                   block_lanes=min(1024, batch),
-                                  demapper=demapper)
+                                  demapper=demapper, interpret=interpret)
         return (be.sum(dtype=jnp.int32), fe.sum(dtype=jnp.int32),
                 jnp.int32(batch * L) * nsteps)
 
@@ -152,11 +152,14 @@ def fused_mc_eligible(code, channel: str, decoder: str, demapper: str) -> bool:
 
 def fused_mc_accumulate(code, nsteps: int, seed: int, param, batch: int,
                         mesh: Optional[Mesh] = None, channel: str = "awgn",
-                        demapper: str = "soft") -> Tuple[int, int, int]:
+                        demapper: str = "soft",
+                        interpret: bool = False) -> Tuple[int, int, int]:
     """Fused-kernel equivalent of :func:`sharded_accumulate` for the
     Viterbi chains.  ``seed`` is a Python int; per-device streams are
-    derived from it on the frames axis."""
-    run = _fused_runner(code, batch, mesh, channel, demapper)
+    derived from it on the frames axis.  ``interpret`` runs the kernel in
+    the Pallas interpreter with the counter-hash PRNG fallback (CPU mesh
+    validation — the multi-chip dryrun path)."""
+    run = _fused_runner(code, batch, mesh, channel, demapper, interpret)
     if mesh is None or "frames" not in mesh.axis_names:
         be, fe, nb = run(jnp.int32(seed & 0x7FFFFFFF),
                          jnp.float32(param), jnp.int32(nsteps))
