@@ -79,54 +79,29 @@ CONFIGS = {
        for i, row in zip([0, 1, 2, 3, 5],
                          ["ber_coded_ah", "ber_coded_bh", "ber_coded_ch",
                           "ber_coded_dh", "ber_coded_eh"])},
-    "bsc_viterbi_0": (dict(code=0, channel="bsc", decoder="viterbi"),
-                      "ber_coded_a", "bsc"),
+    **{f"bsc_viterbi_{i}": (dict(code=i, channel="bsc", decoder="viterbi"),
+                            f"ber_coded_{c}", "bsc")
+       for c, i in zip("abcde", [0, 1, 2, 3, 5])},
     "uncoded_2": (dict(code=0, channel="uncoded"), "ber_uncoded_2", "awgn"),
     "uncoded_3": (dict(code=5, channel="uncoded"), "ber_uncoded_3", "awgn"),
-    # sequential decoders: reduced grids (full low-SNR sweeps are
-    # lockstep-slow; see CLAUDE.md)
-    **{f"awgn_stack_{dm}_{i}": (dict(code=i, channel="awgn", decoder="stack",
-                                     demapper=dm,
-                                     points=[4.0, 6.0, 8.0],
-                                     frames_per_step=8192),
-                                f"ber_coded_{c}{'h' if dm == 'hard' else ''}_stack",
+    # Sequential decoders: the FULL published grids (awgn_channel.m:36-78,
+    # binary_symmetric_channel.m:17-42) at reference tier sample sizes and
+    # the reference Fano budget TIMEOUT=10000 (AWGN-channel/fano-decoder.c:14).
+    # Straggler frames are amortized across each point by the decode pool
+    # (ops/seq_chunking.py), so the full low-SNR sweeps are tractable.
+    **{f"awgn_{dec}_{dm}_{i}": (dict(code=i, channel="awgn", decoder=dec,
+                                     demapper=dm, frames_per_step=16384),
+                                f"ber_coded_{c}{'h' if dm == 'hard' else ''}"
+                                f"_{dec}",
                                 "awgn")
+       for dec in ("stack", "fano")
        for dm in ("soft", "hard")
-       for c, i in zip("abcde", [0, 1, 2, 3, 5]) if not (dm == "soft" and i == 0)},
-    "bsc_stack_full_0": (dict(code=0, channel="bsc", decoder="stack",
-                              points=[0.003125, 0.00625, 0.0125, 0.025,
-                                      0.05, 0.1],
-                              frames_per_step=8192),
-                         "ber_coded_a_stack", "bsc"),
-    "awgn_stack_soft_0": (dict(code=0, channel="awgn", decoder="stack",
-                               points=[4.0, 6.0, 8.0], bits_per_point=4e5,
-                               frames_per_step=4096),
-                          "ber_coded_a_stack", "awgn"),
-    "awgn_stack_soft_wspr": (dict(code=4, channel="awgn", decoder="stack",
-                                  points=[4.0, 6.0], bits_per_point=4e5,
-                                  frames_per_step=4096),
-                             "ber_coded_f_stack", "awgn"),
-    "bsc_stack_0": (dict(code=0, channel="bsc", decoder="stack",
-                         points=[0.0125, 0.05], bits_per_point=4e5,
-                         frames_per_step=4096),
-                    "ber_coded_a_stack", "bsc"),
-    # Fano sweeps cap the decode budget at 4000 cycles/bit on TPU: a single
-    # lockstep dispatch at the reference's 10000 budget can run for minutes
-    # and trips the worker watchdog. At these SNRs the budget rarely binds
-    # (timeout events are rare), so the bias is far below MC noise.
-    "awgn_fano_soft_0": (dict(code=0, channel="awgn", decoder="fano",
-                              points=[6.0, 8.0], bits_per_point=8e4,
-                              frames_per_step=2048, timeout_per_bit=4000),
-                         "ber_coded_a_fano", "awgn"),
-    **{f"awgn_fano_soft_{i}": (dict(code=i, channel="awgn", decoder="fano",
-                                    points=[6.0, 8.0], bits_per_point=8e4,
-                                    frames_per_step=2048, timeout_per_bit=4000),
-                               f"ber_coded_{c}_fano", "awgn")
-       for c, i in zip("bcde", [1, 2, 3, 5])},
-    "bsc_fano_0": (dict(code=0, channel="bsc", decoder="fano",
-                        points=[0.0125, 0.05], bits_per_point=8e4,
-                        frames_per_step=2048, timeout_per_bit=4000),
-                   "ber_coded_a_fano", "bsc"),
+       for c, i in zip("abcdef", [0, 1, 2, 3, 5, 4])},
+    **{f"bsc_{dec}_{i}": (dict(code=i, channel="bsc", decoder=dec,
+                               frames_per_step=16384),
+                          f"ber_coded_{c}_{dec}", "bsc")
+       for dec in ("stack", "fano")
+       for c, i in zip("abcdef", [0, 1, 2, 3, 5, 4])},
 }
 
 
@@ -153,7 +128,9 @@ def main():
         spec = SweepSpec(frames_per_step=frames, base_bits=8e8 * scale,
                          seed=1234, **kw)
         print(f"=== {name} (scale {scale}) ===", flush=True)
-        records = run_sweep(spec, verbose=True)
+        sfx = "" if scale == 1.0 else f"_s{scale:g}"
+        ckpt = str(RESULTS / f"{name}{sfx}.ckpt.json")
+        records = run_sweep(spec, verbose=True, checkpoint_path=ckpt)
         rec.write_jsonl(records, str(RESULTS / f"{name}.jsonl"))
         rec.write_octave([(name, records)], str(RESULTS / f"{name}.m"))
         lines, worst = compare(records, channel, row, scale)
