@@ -13,6 +13,7 @@ JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import sys
 import time
 
 import jax
@@ -55,7 +56,99 @@ def _make_many_xla(code, B, L, sigma, nsteps):
     return many
 
 
+def _emit(metric, bits, dt, baseline=None, **detail):
+    r = {"metric": metric, "value": round(bits / dt, 1), "unit": "info_bits/s"}
+    if baseline:
+        r["vs_baseline"] = round(bits / dt / baseline, 3)
+    if detail:
+        r["detail"] = detail
+    print(json.dumps(r), flush=True)
+
+
+def _bench_longframe(code_key, metric, hard, frame_bits, B, baseline):
+    """BASELINE configs 0/2: long-frame (streaming-style) Viterbi decode,
+    time-chunked VMEM ACS with carried metrics (parallel/streaming.py)."""
+    from convolutional_codes_tpu.ops.encoder import encode_stream
+    from convolutional_codes_tpu.ops.viterbi import hard_branch_metrics
+    from convolutional_codes_tpu.parallel.streaming import long_frame_decode_pallas
+
+    code = get_code(code_key)
+    chunk = 256
+    L = frame_bits - (code.constraint_length - 1)
+    L -= (L + code.constraint_length - 1) % chunk
+    key = jax.random.PRNGKey(3)
+
+    @jax.jit
+    def gen(key):
+        bits = jax.random.bernoulli(key, 0.5, (B, L)).astype(jnp.int32)
+        syms = encode_stream(code, bits, terminate=True)
+        if hard:
+            kf = jax.random.split(key)[0]
+            flips = jax.random.bernoulli(kf, 0.0125, syms.shape + (code.symlen_out,))
+            fl = jnp.sum(flips.astype(jnp.int32)
+                         << jnp.arange(code.symlen_out), -1)
+            bm = hard_branch_metrics(code, syms ^ fl).astype(jnp.float32)
+        else:
+            sig = jnp.float32(awgn_sigma(6.0))
+            from convolutional_codes_tpu.ops.channels import awgn
+            from convolutional_codes_tpu.ops.demapper import soft_demap
+            from convolutional_codes_tpu.ops.mapper import map_symbols
+            bm = soft_demap(code.symlen_out,
+                            awgn(jax.random.split(key)[1],
+                                 map_symbols(code, syms), sig))
+        return bits, bm
+
+    dec = jax.jit(lambda bm: long_frame_decode_pallas(code, bm, chunk=chunk))
+    bits, bm = gen(key)
+    out = dec(bm); jax.block_until_ready(out)      # compile
+    t0 = time.time()
+    bits, bm = gen(jax.random.fold_in(key, 1))
+    out = dec(bm)
+    err = int(np.asarray(out[:, :L] != bits).sum())
+    dt = time.time() - t0
+    _emit(metric, B * L, dt, baseline, frame_bits=L, ber=err / (B * L))
+
+
+def _bench_seq(code_key, decoder, metric, snr_db, baseline, B=16384,
+               timeout=10000):
+    from convolutional_codes_tpu.sim.sweep import (
+        SweepSpec, _sequential_host_accumulate)
+
+    code = get_code(code_key)
+    spec = SweepSpec(code=code_key, channel="awgn", decoder=decoder,
+                     demapper="soft", frames_per_step=B,
+                     timeout_per_bit=timeout)
+    param = float(awgn_sigma(snr_db))
+    # warm (compiles + first-readback)
+    _sequential_host_accumulate(code, spec, param, 1, jax.random.PRNGKey(5), 0)
+    t0 = time.time()
+    be, fe, nb = _sequential_host_accumulate(
+        code, spec, param, 2, jax.random.PRNGKey(6), 1)
+    dt = time.time() - t0
+    _emit(metric, nb, dt, baseline, snr_db=snr_db, ber=be / nb)
+
+
+def bench_all():
+    """One JSON line per BASELINE.json config (0-4), headline last."""
+    # config 0: K=3 hard Viterbi, BSC, 1e6-bit frames
+    _bench_longframe(0, "bsc_hard_viterbi_k3_1e6bit_frames", True,
+                     frame_bits=1 << 20, B=16, baseline=9.4e6)
+    # config 2: K=7 NASA soft Viterbi, long streaming frames
+    _bench_longframe("nasa-k7", "awgn_soft_viterbi_k7_streaming", False,
+                     frame_bits=1 << 16, B=64, baseline=None)
+    # config 3: stack on K=9, AWGN soft
+    _bench_seq("k9-r12", "stack", "awgn_stack_k9_soft", 8.0, 1.4e5)
+    # flagship-code sequential rows
+    _bench_seq(0, "stack", "awgn_stack_k3_soft", 8.0, 1.4e5)
+    _bench_seq(0, "fano", "awgn_fano_k3_soft", 8.0, 7.1e3)
+    # config 4: fano on K=15 + 16-QAM soft demapper
+    _bench_seq("k15-r14-16qam", "fano", "awgn_fano_k15_16qam", 14.0, 7.1e3,
+               B=4096)
+
+
 def main():
+    if "--all" in sys.argv:
+        bench_all()
     code = get_code(0)
     L = code.block_length
     on_tpu = jax.default_backend() == "tpu"
