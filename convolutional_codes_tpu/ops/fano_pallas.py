@@ -69,26 +69,32 @@ def _fano_kernel(code: Code, T: int, Bt: int, soft: bool):
 
         row2d = jax.lax.broadcasted_iota(jnp.int32, (T, Bt), 0)
 
-        def g(arr2d, idx):
+        # every gather/scatter at a per-lane node index is a masked
+        # reduction / select over the T rows; the (T, Bt) row masks are
+        # built once per index value and shared across all fields
+        def rowmask(idx):
+            return row2d == idx[None, :]
+
+        def g(arr2d, m):
             """arr2d[idx[lane], lane] per lane — masked row reduction."""
-            return jnp.sum(jnp.where(row2d == idx[None, :], arr2d, 0), axis=0)
+            return jnp.sum(jnp.where(m, arr2d, 0), axis=0)
 
-        def gf(arr2d, idx):
-            return jnp.sum(jnp.where(row2d == idx[None, :], arr2d, 0.0), axis=0)
+        def gf(arr2d, m):
+            return jnp.sum(jnp.where(m, arr2d, 0.0), axis=0)
 
-        def put(arr2d, idx, val, mask):
-            sel = (row2d == idx[None, :]) & mask[None, :]
+        def put(arr2d, sel, val):
+            """sel = rowmask & lane-mask, precombined by the caller."""
             return jnp.where(sel, val[None, :], arr2d)
 
-        def node_metrics(s_i32, t):
-            """Sorted branch data at per-lane symbol index t (state s).
-            Mirrors ops/fano.py node_metrics (fano-decoder.c:160-181)."""
+        def node_metrics(s_i32, m):
+            """Sorted branch data at the per-lane node selected by row mask
+            ``m`` (state s).  Mirrors ops/fano.py node_metrics
+            (fano-decoder.c:160-181)."""
             s = s_i32.astype(jnp.uint32)
             ns0, e0 = branch(s, 0)
             ns1, e1 = branch(s, 1)
             if soft:
-                tmask = (jax.lax.broadcasted_iota(jnp.int32, (T, M, Bt), 0)
-                         == t[None, None, :])
+                tmask = m[:, None, :]
                 trow = jnp.sum(jnp.where(tmask, syms_ref[:], 0.0), axis=0)
                 d0 = jnp.zeros((Bt,), jnp.float32)
                 d1 = jnp.zeros((Bt,), jnp.float32)
@@ -98,9 +104,7 @@ def _fano_kernel(code: Code, T: int, Bt: int, soft: bool):
                 tm0 = 1.0 + w * d0
                 tm1 = 1.0 + w * d1
             else:
-                tmask = (jax.lax.broadcasted_iota(jnp.int32, (T, Bt), 0)
-                         == t[None, :])
-                rx = jnp.sum(jnp.where(tmask, syms_ref[:], 0),
+                rx = jnp.sum(jnp.where(m, syms_ref[:], 0),
                              axis=0).astype(jnp.uint32)
                 x0 = e0 ^ rx
                 x1 = e1 ^ rx
@@ -136,10 +140,11 @@ def _fano_kernel(code: Code, T: int, Bt: int, soft: bool):
                 act = search & jnp.logical_not(exhausted)
                 timeout = jnp.where(act, timeout - 1, timeout)
 
-                sel = g(ni_ref[_SELECTED], cur)
-                m_cur = gf(nf_ref[_NMETRIC], cur)
-                tsel = jnp.where(sel == 0, gf(nf_ref[_TM0], cur),
-                                 gf(nf_ref[_TM1], cur))
+                mc = rowmask(cur)                     # pre-move node mask
+                sel = g(ni_ref[_SELECTED], mc)
+                m_cur = gf(nf_ref[_NMETRIC], mc)
+                tsel = jnp.where(sel == 0, gf(nf_ref[_TM0], mc),
+                                 gf(nf_ref[_TM1], mc))
                 ms = m_cur + tsel
                 fwd = act & (ms >= threshold)
 
@@ -159,45 +164,55 @@ def _fano_kernel(code: Code, T: int, Bt: int, soft: bool):
                 finished = fwd & (cur + 1 == T)
                 done = done | finished
                 step_fwd = fwd & jnp.logical_not(finished)
-                ssel = jnp.where(sel == 0, g(ni_ref[_SUCC0], cur),
-                                 g(ni_ref[_SUCC1], cur))
-                ni_ref[_NSTATE] = put(ni_ref[_NSTATE], nxt, ssel, step_fwd)
-                nf_ref[_NMETRIC] = put(nf_ref[_NMETRIC], nxt, ms, step_fwd)
+                ssel = jnp.where(sel == 0, g(ni_ref[_SUCC0], mc),
+                                 g(ni_ref[_SUCC1], mc))
                 cur = jnp.where(step_fwd, nxt, cur)
+                m2 = rowmask(cur)                     # post-move node mask
+                wf = m2 & step_fwd[None, :]           # write mask at new node
+                ni_ref[_NSTATE] = put(ni_ref[_NSTATE], wf, ssel)
+                nf_ref[_NMETRIC] = put(nf_ref[_NMETRIC], wf, ms)
                 # recompute branch data at the node we just entered
-                b0, b1, bt0, bt1, bdec = node_metrics(
-                    g(ni_ref[_NSTATE], cur), jnp.clip(cur, 0, T - 1))
-                ni_ref[_SUCC0] = put(ni_ref[_SUCC0], cur, b0, step_fwd)
-                ni_ref[_SUCC1] = put(ni_ref[_SUCC1], cur, b1, step_fwd)
-                nf_ref[_TM0] = put(nf_ref[_TM0], cur, bt0, step_fwd)
-                nf_ref[_TM1] = put(nf_ref[_TM1], cur, bt1, step_fwd)
-                ni_ref[_DECODED] = put(ni_ref[_DECODED], cur, bdec, step_fwd)
+                b0, b1, bt0, bt1, bdec = node_metrics(g(ni_ref[_NSTATE], m2),
+                                                      m2)
+                ni_ref[_SUCC0] = put(ni_ref[_SUCC0], wf, b0)
+                ni_ref[_SUCC1] = put(ni_ref[_SUCC1], wf, b1)
+                nf_ref[_TM0] = put(nf_ref[_TM0], wf, bt0)
+                nf_ref[_TM1] = put(nf_ref[_TM1], wf, bt1)
+                ni_ref[_DECODED] = put(ni_ref[_DECODED], wf, bdec)
                 zero = jnp.zeros((Bt,), jnp.int32)
-                ni_ref[_SELECTED] = put(ni_ref[_SELECTED], cur, zero, step_fwd)
+                ni_ref[_SELECTED] = put(ni_ref[_SELECTED], wf, zero)
 
                 # no forward: enter backtrack mode
                 mode = jnp.where(act & jnp.logical_not(fwd), 1, mode)
 
                 # ---- BACKTRACK micro-step (fano-decoder.c:237-264) -------
+                # (back lanes did not move above, so m2 is their node mask)
                 prev_ok = back & (cur > 0)
-                pm = gf(nf_ref[_NMETRIC], jnp.clip(cur - 1, 0, T - 1))
+                mprev = rowmask(jnp.clip(cur - 1, 0, T - 1))
+                pm = gf(nf_ref[_NMETRIC], mprev)
                 can_back = prev_ok & (pm >= threshold)
                 relax = back & jnp.logical_not(can_back)
                 threshold = jnp.where(relax, threshold - delta, threshold)
-                sel_cur = g(ni_ref[_SELECTED], cur)
+                sel_cur = g(ni_ref[_SELECTED], m2)
                 flip_relax = relax & (sel_cur != 0)
-                ni_ref[_DECODED] = put(ni_ref[_DECODED], cur,
-                                       g(ni_ref[_DECODED], cur) ^ 1, flip_relax)
-                ni_ref[_SELECTED] = put(ni_ref[_SELECTED], cur, zero, flip_relax)
+                wr = m2 & flip_relax[None, :]
+                ni_ref[_DECODED] = put(ni_ref[_DECODED], wr,
+                                       g(ni_ref[_DECODED], m2) ^ 1)
+                ni_ref[_SELECTED] = put(ni_ref[_SELECTED], wr, zero)
                 mode = jnp.where(relax, 0, mode)
                 # move back one node; take its second branch if untested
                 cur = jnp.where(can_back, cur - 1, cur)
-                sel_b = g(ni_ref[_SELECTED], cur)
+                # (select between bool masks via logic ops — Mosaic rejects
+                # i1-result select/trunc)
+                cb = can_back[None, :]
+                m3 = (mprev & cb) | (m2 & jnp.logical_not(cb))
+                sel_b = g(ni_ref[_SELECTED], m3)
                 take_second = can_back & (sel_b == 0)
-                ni_ref[_DECODED] = put(ni_ref[_DECODED], cur,
-                                       g(ni_ref[_DECODED], cur) ^ 1, take_second)
+                wt = m3 & take_second[None, :]
+                ni_ref[_DECODED] = put(ni_ref[_DECODED], wt,
+                                       g(ni_ref[_DECODED], m3) ^ 1)
                 one = jnp.ones((Bt,), jnp.int32)
-                ni_ref[_SELECTED] = put(ni_ref[_SELECTED], cur, one, take_second)
+                ni_ref[_SELECTED] = put(ni_ref[_SELECTED], wt, one)
                 mode = jnp.where(take_second, 0, mode)
                 # if selected was already 1, stay in BACKTRACK, keep moving
 

@@ -115,7 +115,8 @@ def compacting_run(
     if perm is None:
         perm = np.arange(B)
     state = list(state)
-    iters = max(Bt, iters_first)
+    # first dispatch budget-clamped too (all tiles potentially active)
+    iters = max(Bt, min(iters_first, _DISPATCH_BUDGET // ntiles))
     step = _with_status(call, ai, row, Bt, ntiles)
     nact = int(_status(state[ai][row], Bt, ntiles)[0])
     for _ in range(max_calls):
@@ -233,6 +234,15 @@ class SequentialPool:
             self.call, syms, list(state), self.done_sel, self.Bt,
             self.iters_first, self.iters_cap, self.submit_calls,
             self.what, perm=perm, stop_when_nact_le=self.Bt)
+        nact = int((~done & (perm >= 0)).sum())
+        if nact > B // 2:
+            # all-slow regime (e.g. timeout-bound low SNR): parking the
+            # whole batch would just shuffle 10s of MB through gathers —
+            # run it to completion in place instead
+            state, syms, perm, done = compacting_run(
+                self.call, syms, state, self.done_sel, self.Bt,
+                self.iters_cap, self.iters_cap, self.max_calls,
+                self.what + ".slow", perm=perm)
         self._bank(state, perm, done)
         act = np.nonzero(~done & (perm >= 0))[0]
         if len(act):
@@ -270,7 +280,7 @@ class SequentialPool:
                 cstate[ai] = cstate[ai].at[row, hi - lo:].set(1)
             cstate, csyms, cperm, done = compacting_run(
                 self.call, csyms, cstate, self.done_sel, self.Bt,
-                self.iters_first, self.iters_cap, self.max_calls,
+                max(self.iters_first, 8192), self.iters_cap, self.max_calls,
                 self.what + ".carry", perm=cperm)
             self._bank(cstate, cperm, done)
 

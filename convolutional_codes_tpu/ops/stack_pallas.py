@@ -143,8 +143,8 @@ def _stack_kernel(code: Code, T: int, Bt: int, soft: bool, nwords: int):
                 ns1, e1 = branch(s, 1)
 
                 if soft:
-                    tmask = (jax.lax.broadcasted_iota(jnp.int32, (T, M, Bt), 0)
-                             == t[None, None, :])
+                    tmask = (jax.lax.broadcasted_iota(jnp.int32, (T, Bt), 0)
+                             == t[None, :])[:, None, :]
                     trow = jnp.sum(jnp.where(tmask, syms_ref[:], 0.0), axis=0)
                     d0 = jnp.zeros((Bt,), jnp.float32)
                     d1 = jnp.zeros((Bt,), jnp.float32)
