@@ -110,6 +110,16 @@ class PointRecord:
         return dataclasses.asdict(self)
 
 
+@jax.jit
+def _masked_err_counts(dec, tx, fin):
+    """dec [w, L] decoded bits, tx [B, L] sent bits, fin [w] row-into-tx per
+    lane (-1 = not banked in this call) → (bit errors, frame errors)."""
+    valid = fin >= 0
+    rows = jnp.take(tx, jnp.clip(fin, 0, tx.shape[0] - 1), axis=0)
+    err = (dec != rows) & valid[:, None]
+    return err.sum(dtype=jnp.int32), err.any(axis=1).sum(dtype=jnp.int32)
+
+
 @functools.lru_cache(maxsize=None)
 def _fano_front(code: Code, channel: str, demapper: str, frames: int):
     """Jitted bits→symbols→channel front for the host-looped fano path."""
@@ -171,26 +181,29 @@ def _sequential_host_accumulate(code: Code, spec: SweepSpec, param,
         call = sp._stack_call(code, T, Bp, Bt, soft, interpret)
         done_sel = (4, 2)
 
-    tx_store = {}                   # batch idx -> [tx bits [B, L], outstanding]
-    tot = [0, 0, 0]                 # bit errors, frame errors, bits
+    tx_store = {}         # batch idx -> [tx bits [B, L] device, outstanding]
+    tot = [0, 0, 0]       # bit errors, frame errors, bits
 
     def collect(frame_ids, lanes, state):
-        lanes_d = jnp.asarray(lanes)
+        # error counting stays on device — only two scalars cross the
+        # tunnel per touched batch (a [w, L] readback per submit would
+        # dominate the high-SNR sweep points)
         if fano:
-            dec = np.asarray(
-                jnp.take(state[0][fp._DECODED], lanes_d, axis=-1)[:L].T)
+            dec = jnp.swapaxes(state[0][fp._DECODED][:L], 0, 1)   # [w, L]
         else:
-            bits_full, _ = sp._extract(code, state[2], state[3], soft,
-                                       state[4])
-            dec = np.asarray(jnp.take(bits_full, lanes_d, axis=0))
+            dec, _ = sp._extract(code, state[2], state[3], soft, state[4])
+        w = dec.shape[0]
         bidx = frame_ids // B
         fin = frame_ids % B
         for bi in np.unique(bidx):
             m = bidx == bi
+            fin_full = np.full(w, -1, np.int32)
+            fin_full[lanes[m]] = fin[m]
             entry = tx_store[bi]
-            err = dec[m] != entry[0][fin[m]]
-            tot[0] += int(err.sum())
-            tot[1] += int(err.any(axis=1).sum())
+            be_d, fe_d = _masked_err_counts(dec, entry[0],
+                                            jnp.asarray(fin_full))
+            tot[0] += int(be_d)
+            tot[1] += int(fe_d)
             entry[1] -= int(m.sum())
             if entry[1] == 0:
                 del tx_store[bi]
@@ -200,7 +213,7 @@ def _sequential_host_accumulate(code: Code, spec: SweepSpec, param,
     for i in range(nsteps):
         key = jax.random.fold_in(jax.random.fold_in(pkey, chunk_idx), i)
         bits, rx = front(key, jnp.float32(param))
-        tx_store[i] = [np.asarray(bits), B]
+        tx_store[i] = [bits, B]      # stays on device; freed when banked
         syms = sp.pack_syms(code, rx, soft, Bp)
         if fano:
             state = fp._pack_init(code, rx, soft, spec.timeout_per_bit, Bp)
