@@ -13,10 +13,16 @@ JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import sys
 import time
 
 import jax
+
+if os.environ.get("CONVCODES_CPU"):
+    # the axon sitecustomize preimports jax on the TPU backend regardless of
+    # JAX_PLATFORMS; this is the only reliable way to force a CPU run
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 
@@ -130,9 +136,10 @@ def _bench_seq(code_key, decoder, metric, snr_db, baseline, B=16384,
 
 def bench_all():
     """One JSON line per BASELINE.json config (0-4), headline last."""
-    # config 0: K=3 hard Viterbi, BSC, 1e6-bit frames
+    # config 0: K=3 hard Viterbi, BSC, 1e6-bit frames.  B=16 needs 16.01G
+    # of HBM (measured: 270M over the 15.75G chip); B=8 leaves 2x headroom.
     _bench_longframe(0, "bsc_hard_viterbi_k3_1e6bit_frames", True,
-                     frame_bits=1 << 20, B=16, baseline=9.4e6)
+                     frame_bits=1 << 20, B=8, baseline=9.4e6)
     # config 2: K=7 NASA soft Viterbi, long streaming frames
     _bench_longframe("nasa-k7", "awgn_soft_viterbi_k7_streaming", False,
                      frame_bits=1 << 16, B=64, baseline=None)
@@ -148,7 +155,14 @@ def bench_all():
 
 def main():
     if "--all" in sys.argv:
-        bench_all()
+        if jax.default_backend() == "tpu":
+            bench_all()
+        else:
+            print(json.dumps({"metric": "bench_all_skipped",
+                              "value": 0, "unit": "",
+                              "detail": {"reason": "TPU-only Pallas paths; "
+                                         f"backend={jax.default_backend()}"}}),
+                  flush=True)
     code = get_code(0)
     L = code.block_length
     on_tpu = jax.default_backend() == "tpu"

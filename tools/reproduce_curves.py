@@ -13,6 +13,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import math
 import os
@@ -61,13 +62,18 @@ _FRESH_ROWS = {("bsc", "ber_coded_b"): "code_1",
                ("bsc", "ber_coded_e"): "code_5"}
 
 
+@functools.lru_cache(maxsize=1)
+def _fresh_data():
+    try:
+        return json.load(open(RESULTS / "reference_fresh_bsc.json"))
+    except FileNotFoundError:
+        return None
+
+
 def _fresh_lookup(channel, row_name, point):
     key = _FRESH_ROWS.get((channel, row_name))
-    if key is None:
-        return None
-    try:
-        data = json.load(open(RESULTS / "reference_fresh_bsc.json"))
-    except FileNotFoundError:
+    data = _fresh_data()
+    if key is None or data is None:
         return None
     for r in data["rows"][key]:
         if abs(r["crossover"] - point) < 1e-12:
@@ -99,14 +105,12 @@ def compare(records, channel, row_name, scale):
         else:
             cluster = max(1.0, r.bit_errors / max(r.frame_errors, 1))
             p_ref = max(p_pub, ulp / 2)   # printed 0 → half-ulp upper bound
-            z = zscore(r.ber, r.bits, p_ref, n_pub, cluster)
-            # add the table's rounding variance (uniform over one ulp)
-            var_extra = ulp * ulp / 12.0
-            base = (r.ber - p_ref)
+            # clustered two-sample variance + the table's rounding variance
+            # (uniform over one print ulp)
             denom2 = (cluster * ((r.ber * (1 - r.ber)) / max(r.bits, 1)
                                  + (p_ref * (1 - p_ref)) / max(n_pub, 1))
-                      + var_extra)
-            z = base / math.sqrt(denom2) if denom2 > 0 else z
+                      + ulp * ulp / 12.0)
+            z = (r.ber - p_ref) / math.sqrt(denom2)
         fresh = _fresh_lookup(channel, row_name, r.point)
         note = ""
         if fresh is not None:
