@@ -134,8 +134,40 @@ def _bench_seq(code_key, decoder, metric, snr_db, baseline, B=16384,
     _emit(metric, nb, dt, baseline, snr_db=snr_db, ber=be / nb)
 
 
+def _bench_acs(code_key, metric, B=262144, nsteps=8):
+    """Decode-only Pallas ACS+traceback rate (PERF.md §2): per-step fresh
+    random distance tensors generated in-jit (~1 uniform/element, ~10% of
+    the decode cost), nsteps decodes scanned inside one dispatch so the
+    tunnel's per-dispatch latency cannot dominate."""
+    from convolutional_codes_tpu.ops.viterbi import viterbi_decode_soft
+
+    code = get_code(code_key)
+    T = code.block_length + code.constraint_length - 1
+    M = 1 << code.symlen_out
+
+    @jax.jit
+    def many(key):
+        def body(acc, i):
+            d = jax.random.uniform(jax.random.fold_in(key, i), (B, T, M),
+                                   jnp.float32, 0.0, 8.0)
+            bits = viterbi_decode_soft(code, d)
+            return acc + jnp.sum(bits[:, 0], dtype=jnp.int32), None
+        acc, _ = jax.lax.scan(body, jnp.int32(0),
+                              np.arange(nsteps, dtype=np.int32))
+        return acc
+
+    _ = int(many(jax.random.PRNGKey(7)))            # compile + warm
+    t0 = time.time()
+    _ = int(many(jax.random.PRNGKey(8)))
+    dt = time.time() - t0
+    _emit(metric, B * code.block_length * nsteps, dt, None,
+          includes_ingen=True)
+
+
 def bench_all():
     """One JSON line per BASELINE.json config (0-4), headline last."""
+    # decode-only ACS kernel rate (PERF.md roofline row)
+    _bench_acs(0, "acs_pallas_k3")
     # config 0: K=3 hard Viterbi, BSC, 1e6-bit frames.  B=16 needs 16.01G
     # of HBM (measured: 270M over the 15.75G chip); B=8 leaves 2x headroom.
     _bench_longframe(0, "bsc_hard_viterbi_k3_1e6bit_frames", True,
