@@ -11,7 +11,11 @@
  * component selection.
  *
  * Usage: harness_ber_awgn <code_idx> <nblocks> <seed> <ebn0_db_x100>
- * Output: "<bits> <bit_errors>"
+ * Output: "<bits> <bit_errors> <frame_errors>"
+ *
+ * The frame-error column exists because decoder bit errors arrive in
+ * per-frame bursts; rare-event points need the EVENT count to judge
+ * significance (see results/reference_fresh_awgn_stack0.json).
  */
 #include <stdio.h>
 #include <stdlib.h>
@@ -88,18 +92,20 @@ int main(int argc, char** argv) {
     int L = param.block_len;
     int nbytes = (L + 7) / 8;
     uint8_t packed[64];
-    long long bits = 0, errs = 0;
+    long long bits = 0, errs = 0, ferrs = 0;
 
     for (long b = 0; b < nblocks; ++b) {
         for (int i = 0; i < nbytes; ++i) packed[i] = (uint8_t)(rand() % 256);
         encoder_input(enc, packed, (uint8_t)L);
+        long long before = errs;
         for (int i = 0; i < L; ++i) {
             int tx = (packed[i / 8] >> (7 - (i % 8))) & 1;
             int rxb = (dec_bits[i / 8] >> (7 - (i % 8))) & 1;
             if (tx != rxb) ++errs;
         }
+        if (errs != before) ++ferrs;
         bits += L;
     }
-    printf("%lld %lld\n", bits, errs);
+    printf("%lld %lld %lld\n", bits, errs, ferrs);
     return 0;
 }

@@ -81,6 +81,28 @@ def _fresh_lookup(channel, row_name, point):
     return None
 
 
+def _cluster_for(records, i, min_events=10):
+    """Bits-per-frame-event cluster estimate for records[i].
+
+    Decoder bit errors arrive in per-frame bursts (~19-20 bits/event for
+    the reference stack decoder at 6-10 dB — measured from the actual C
+    chain, results/reference_fresh_awgn_stack0.json).  The per-point
+    estimate bit_errors/frame_errors collapses to ~1 when only a single
+    burst is observed, deflating the variance by the true cluster size
+    (the stack-0 10 dB z=-7.6 false alarm).  Burst size is governed by
+    the decoder/code, not the SNR, so when the point itself has too few
+    events we borrow the ratio from the nearest point on the same curve
+    with at least `min_events` observed events.
+    """
+    order = sorted(range(len(records)),
+                   key=lambda j: (abs(j - i), j))
+    for j in order:
+        r = records[j]
+        if r.frame_errors >= min_events:
+            return max(1.0, r.bit_errors / r.frame_errors)
+    return None
+
+
 def compare(records, channel, row_name, scale):
     pub = GOLD[channel][row_name]
     grid = GOLD[channel]["SNR" if channel == "awgn" else "ber_uncoded"]
@@ -88,7 +110,7 @@ def compare(records, channel, row_name, scale):
     ulp = _table_ulp(channel, row_name)
     lines = []
     worst = 0.0
-    for r in records:
+    for ri, r in enumerate(records):
         idx = min(range(len(grid)), key=lambda j: abs(grid[j] - r.point))
         p_pub = pub[idx]
         n_pub = tier(r.point)
@@ -99,22 +121,34 @@ def compare(records, channel, row_name, scale):
         elif r.bit_errors == 0 and p_pub > 0:
             # zero observations: errors arrive in per-frame bursts, so the
             # expected count of frame EVENTS (Poisson) decides significance;
-            # cluster size unknown → conservative L/4 bits per event
-            lam = p_pub * r.bits / max(1.0, r.bits / max(r.frames, 1) / 4)
+            # cluster from the nearest well-populated point on this curve,
+            # else the conservative L/4 bits per event
+            cl = _cluster_for(records, ri)
+            if cl is None:
+                cl = max(1.0, r.bits / max(r.frames, 1) / 4)
+            lam = p_pub * r.bits / cl
             z = -math.sqrt(lam)
         else:
-            cluster = max(1.0, r.bit_errors / max(r.frame_errors, 1))
+            cluster = _cluster_for(records, ri)
+            if cluster is None:
+                cluster = max(1.0, r.bit_errors / max(r.frame_errors, 1))
             p_ref = max(p_pub, ulp / 2)   # printed 0 → half-ulp upper bound
-            # clustered two-sample variance + the table's rounding variance
-            # (uniform over one print ulp)
-            denom2 = (cluster * ((r.ber * (1 - r.ber)) / max(r.bits, 1)
-                                 + (p_ref * (1 - p_ref)) / max(n_pub, 1))
+            # clustered two-sample variance with the POOLED proportion
+            # (a Wald variance from the observed p collapses when the
+            # observation runs far below the published value), plus the
+            # table's rounding variance (uniform over one print ulp)
+            p_pool = ((r.ber * r.bits + p_ref * n_pub)
+                      / max(r.bits + n_pub, 1))
+            denom2 = (cluster * p_pool * (1 - p_pool)
+                      * (1.0 / max(r.bits, 1) + 1.0 / max(n_pub, 1))
                       + ulp * ulp / 12.0)
             z = (r.ber - p_ref) / math.sqrt(denom2)
         fresh = _fresh_lookup(channel, row_name, r.point)
         note = ""
         if fresh is not None:
-            cluster = max(1.0, r.bit_errors / max(r.frame_errors, 1))
+            cluster = _cluster_for(records, ri)
+            if cluster is None:
+                cluster = max(1.0, r.bit_errors / max(r.frame_errors, 1))
             zf = zscore(r.ber, r.bits, fresh["ber"], fresh["bits"], cluster)
             if r.bit_errors == 0 and fresh["bit_errors"] == 0:
                 zf = 0.0
