@@ -54,6 +54,20 @@ _TABLES = {
 }
 
 
+#: cache_clear callbacks of caches whose entries embed a point table at
+#: trace time (jitted chain fronts, fused kernels): cleared on
+#: re-registration so a replaced table cannot be served from a stale trace.
+_dependent_cache_clears = []
+
+
+def register_dependent_cache(clear) -> None:
+    """Register a cache invalidator to run when a constellation table is
+    replaced (``register_constellation(..., overwrite=True)``).  Modules
+    that cache jitted functions closing over ``get_constellation`` tables
+    call this once at import time."""
+    _dependent_cache_clears.append(clear)
+
+
 def register_constellation(num_bits: int, points: np.ndarray,
                            overwrite: bool = False) -> np.ndarray:
     """Install a user constellation for ``num_bits`` bits/symbol.
@@ -67,6 +81,8 @@ def register_constellation(num_bits: int, points: np.ndarray,
         raise KeyError(f"constellation for {num_bits} bits already registered")
     _TABLES[num_bits] = points
     get_constellation.cache_clear()
+    for clear in _dependent_cache_clears:
+        clear()
     return points
 
 

@@ -45,11 +45,6 @@ import numpy as np
 _DEBUG = bool(os.environ.get("CONVCODES_SEQ_DEBUG"))
 
 
-def _take_lanes(arrs: Sequence[jnp.ndarray], order: np.ndarray) -> List[jnp.ndarray]:
-    idx = jnp.asarray(order)
-    return [jnp.take(a, idx, axis=-1) for a in arrs]
-
-
 @jax.jit
 def _reorder(arrs, idx):
     """Lane permutation of every state array in one dispatch."""
@@ -172,7 +167,7 @@ def chunked_lane_run(
         get_call(B), syms, state, done_sel, block_lanes,
         iters_first, iters_cap, max_calls, what)
     if not np.array_equal(perm, np.arange(B)):
-        state = _take_lanes(state, np.argsort(perm, kind="stable"))
+        state = _reorder(state, jnp.asarray(np.argsort(perm, kind="stable")))
     return state
 
 

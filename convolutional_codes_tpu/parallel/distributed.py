@@ -38,9 +38,17 @@ def initialize_from_env(verbose: bool = True) -> bool:
     multi-host TPU topology is detectable, nothing happens, so it is always
     safe to call this first thing in a driver.
     """
-    coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
-    nproc = os.environ.get("JAX_NUM_PROCESSES")
-    pid = os.environ.get("JAX_PROCESS_ID")
+    env = {name: os.environ.get(name)
+           for name in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                        "JAX_PROCESS_ID")}
+    coord, nproc, pid = env.values()
+    if any(env.values()) and not all(env.values()):
+        missing = [k for k, v in env.items() if not v]
+        raise ValueError(
+            f"partial multi-host environment: {missing} unset while "
+            f"{[k for k, v in env.items() if v]} set — a silent "
+            f"single-process fallback here would deadlock the other "
+            f"processes at their first collective")
     if coord and nproc and pid:
         jax.distributed.initialize(coordinator_address=coord,
                                    num_processes=int(nproc),
@@ -103,7 +111,10 @@ def measure_scaling(code=None, frames_per_device: int = 512, nsteps: int = 4,
             best = min(best, time.time() - t0)
             bits = nb
         rate = bits / best
-        eff = rate / (out[0].bits_per_s * d) if out else 1.0
+        # efficiency vs the first point's PER-DEVICE rate (the first
+        # measured count need not be 1)
+        eff = (rate / (out[0].bits_per_s / out[0].devices * d)
+               if out else 1.0)
         out.append(ScalingPoint(d, bits, best, rate, eff))
     return out
 

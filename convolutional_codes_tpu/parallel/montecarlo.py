@@ -19,6 +19,8 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
+from convolutional_codes_tpu.models.constellations import register_dependent_cache
+
 #: (key, param) -> (bit_errors, frame_errors, bits) — see sim.chain.StepFn.
 StepFn = Callable
 
@@ -138,6 +140,10 @@ def _fused_runner(code, batch: int, mesh: Optional[Mesh], channel: str,
         return tuple(jax.lax.psum(x, fa) for x in out)
 
     return run
+
+
+# fused kernels embed the constellation table of code.symlen_out
+register_dependent_cache(_fused_runner.cache_clear)
 
 
 def fused_mc_eligible(code, channel: str, decoder: str, demapper: str) -> bool:

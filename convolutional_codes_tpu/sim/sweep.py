@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from convolutional_codes_tpu.models.codebook import Code, get_code
+from convolutional_codes_tpu.models.constellations import register_dependent_cache
 from convolutional_codes_tpu.ops.channels import awgn_sigma
 from convolutional_codes_tpu.ops.fano import FANO_TIMEOUT
 from convolutional_codes_tpu.parallel.mesh import frames_axis_size
@@ -144,6 +145,10 @@ def _fano_front(code: Code, channel: str, demapper: str, frames: int):
         return bits, out
 
     return front
+
+
+# traced fronts embed the constellation table (mapper/demapper gathers)
+register_dependent_cache(_fano_front.cache_clear)
 
 
 def _sequential_host_accumulate(code: Code, spec: SweepSpec, param,
@@ -275,7 +280,13 @@ def run_sweep(spec: SweepSpec, mesh=None, checkpoint_path: Optional[str] = None,
     records: List[PointRecord] = []
     key = jax.random.PRNGKey(spec.seed)
     eff_frames = fused_batch if use_fused else frames
-    bits_per_call = eff_frames * frame_bits * ndev
+    # host-looped sequential decoders on TPU (Pallas kernels with bounded
+    # dispatches; CLAUDE.md) — this path runs on ONE device regardless of
+    # the mesh, so its per-call bit count must not scale with ndev
+    seq_host = (spec.decoder in ("stack", "fano")
+                and spec.channel != "uncoded"
+                and jax.default_backend() == "tpu")
+    bits_per_call = eff_frames * frame_bits * (1 if seq_host else ndev)
 
     for i, point in enumerate(points):
         pkey = jax.random.fold_in(key, i)
@@ -295,11 +306,6 @@ def run_sweep(spec: SweepSpec, mesh=None, checkpoint_path: Optional[str] = None,
         be = fe = nb = 0
         left = nsteps
         ci = 0
-        # host-looped sequential decoders on TPU (Pallas kernels with
-        # bounded dispatches; CLAUDE.md)
-        seq_host = (spec.decoder in ("stack", "fano")
-                    and spec.channel != "uncoded"
-                    and jax.default_backend() == "tpu")
         # per-point XProf capture (utils/profiling; no-op when trace_dir
         # is unset) — the profiling story the reference solved with printf
         pt_trace = (f"{spec.trace_dir}/point_{point:g}"

@@ -98,3 +98,22 @@ def test_k15_r14_16qam_point_step_runs():
     be, fe, nb = step(jax.random.PRNGKey(0), jnp.float32(awgn_sigma(12.0)))
     assert int(nb) == 8 * code.block_length
     assert 0 <= int(be) <= int(nb)
+
+
+def test_register_overwrite_clears_dependent_caches():
+    """Jitted chain fronts / fused runners traced before a re-registration
+    embed the old point table; overwrite must clear those caches."""
+    from convolutional_codes_tpu.models import constellations as con
+    from convolutional_codes_tpu.parallel.montecarlo import _fused_runner
+    from convolutional_codes_tpu.sim.sweep import _fano_front
+
+    code = get_code(0)
+    _fano_front(code, "awgn", "soft", 8)
+    assert _fano_front.cache_info().currsize >= 1
+    orig = con.get_constellation(code.symlen_out).copy()
+    try:
+        con.register_constellation(code.symlen_out, orig, overwrite=True)
+        assert _fano_front.cache_info().currsize == 0
+        assert _fused_runner.cache_info().currsize == 0
+    finally:
+        con.register_constellation(code.symlen_out, orig, overwrite=True)

@@ -108,3 +108,23 @@ def test_cli_end_to_end(tmp_path, capsys):
                "--bits-per-point", "2560", "--octave", oct_path])
     assert rc == 0
     assert os.path.exists(oct_path)
+
+
+def test_seq_host_bits_ignore_mesh(monkeypatch):
+    """The stack/fano host-looped path runs on ONE device regardless of the
+    mesh, so the per-call bit accounting must not scale with the mesh size
+    (regression: a frames-mesh sweep simulated ndev-times fewer bits than
+    the tier target)."""
+    from convolutional_codes_tpu.sim import sweep as sw
+
+    def fake_seq(code, spec, param, nsteps, pkey, chunk_idx, interpret=False):
+        return (0, 0, nsteps * spec.frames_per_step * code.block_length)
+
+    monkeypatch.setattr(sw, "_sequential_host_accumulate", fake_seq)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    mesh = make_mesh({"frames": 2}, devices=jax.devices()[:2])
+    spec = SweepSpec(code=0, channel="awgn", decoder="stack",
+                     frames_per_step=256, points=[8.0], bits_per_point=81920)
+    recs = run_sweep(spec, mesh=mesh, verbose=False)
+    # 8 calls of 256 frames x 40 bits — with the ndev bug this was 4 calls
+    assert recs[0].bits == 81920
