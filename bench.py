@@ -115,7 +115,7 @@ def _bench_longframe(code_key, metric, hard, frame_bits, B, baseline):
     _emit(metric, B * L, dt, baseline, frame_bits=L, ber=err / (B * L))
 
 
-def _bench_seq(code_key, decoder, metric, snr_db, baseline, B=16384,
+def _bench_seq(code_key, decoder, metric, snr_db, baseline, B=131072,
                timeout=10000):
     from convolutional_codes_tpu.sim.sweep import (
         SweepSpec, _sequential_host_accumulate)

@@ -114,11 +114,20 @@ class PointRecord:
 @jax.jit
 def _masked_err_counts(dec, tx, fin):
     """dec [w, L] decoded bits, tx [B, L] sent bits, fin [w] row-into-tx per
-    lane (-1 = not banked in this call) → (bit errors, frame errors)."""
+    lane (-1 = not banked in this call) → stacked [bit errors, frame errors]."""
     valid = fin >= 0
     rows = jnp.take(tx, jnp.clip(fin, 0, tx.shape[0] - 1), axis=0)
     err = (dec != rows) & valid[:, None]
-    return err.sum(dtype=jnp.int32), err.any(axis=1).sum(dtype=jnp.int32)
+    return jnp.stack([err.sum(dtype=jnp.int32),
+                      err.any(axis=1).sum(dtype=jnp.int32)])
+
+
+@jax.jit
+def _acc_err_counts(acc, dec, tx, fin):
+    """Accumulate error counts ON DEVICE — the tunneled backend's RTT makes
+    every host readback cost ~2-5 ms, so a sweep point reads the counters
+    back exactly once (see CLAUDE.md)."""
+    return acc + _masked_err_counts(dec, tx, fin)
 
 
 @functools.lru_cache(maxsize=None)
@@ -151,6 +160,36 @@ def _fano_front(code: Code, channel: str, demapper: str, frames: int):
 register_dependent_cache(_fano_front.cache_clear)
 
 
+@functools.lru_cache(maxsize=None)
+def _seq_front(code: Code, channel: str, demapper: str, frames: int,
+               decoder: str, timeout: int, Bp: int):
+    """bits → symbols → channel → demap → kernel-layout syms + fresh kernel
+    state, all in ONE jitted dispatch.  The tunneled backend pays ~2-5 ms
+    per dispatch and dispatches do not overlap (CLAUDE.md), so the
+    previously separate front / pack_syms / init-state calls dominated the
+    per-batch wall once the decode kernel itself was fast."""
+    from convolutional_codes_tpu.ops import fano_pallas as fp
+    from convolutional_codes_tpu.ops import stack_pallas as sp
+
+    inner = _fano_front(code, channel, demapper, frames)
+    soft = channel == "awgn"
+
+    @jax.jit
+    def front(key, param):
+        bits, out = inner(key, param)
+        syms = sp.pack_syms(code, out, soft, Bp)
+        if decoder == "fano":
+            state = fp._pack_init(code, out, soft, timeout, Bp)
+        else:
+            state = sp._init_state(code, Bp, frames)
+        return bits, syms, tuple(state)
+
+    return front
+
+
+register_dependent_cache(_seq_front.cache_clear)
+
+
 def _sequential_host_accumulate(code: Code, spec: SweepSpec, param,
                                 nsteps: int, pkey, chunk_idx: int,
                                 interpret: bool = False):
@@ -169,8 +208,6 @@ def _sequential_host_accumulate(code: Code, spec: SweepSpec, param,
     from convolutional_codes_tpu.ops import stack_pallas as sp
     from convolutional_codes_tpu.ops.seq_chunking import SequentialPool
 
-    front = _fano_front(code, spec.channel, spec.demapper,
-                        spec.frames_per_step)
     soft = spec.channel == "awgn"
     L = code.block_length
     T = code.num_block_symbols
@@ -178,6 +215,8 @@ def _sequential_host_accumulate(code: Code, spec: SweepSpec, param,
     Bt = 128
     Bp = -(-B // Bt) * Bt
     fano = spec.decoder == "fano"
+    front = _seq_front(code, spec.channel, spec.demapper, B, spec.decoder,
+                       spec.timeout_per_bit if fano else 0, Bp)
 
     if fano:
         call = fp._fano_call(code, T, Bp, Bt, soft, interpret)
@@ -187,12 +226,12 @@ def _sequential_host_accumulate(code: Code, spec: SweepSpec, param,
         done_sel = (4, 2)
 
     tx_store = {}         # batch idx -> [tx bits [B, L] device, outstanding]
-    tot = [0, 0, 0]       # bit errors, frame errors, bits
+    acc = [jnp.zeros((2,), jnp.int32)]   # device [bit errors, frame errors]
+    nbits = 0
 
     def collect(frame_ids, lanes, state):
-        # error counting stays on device — only two scalars cross the
-        # tunnel per touched batch (a [w, L] readback per submit would
-        # dominate the high-SNR sweep points)
+        # error counting stays on device, accumulated into `acc` — the
+        # counters cross the tunnel exactly once per point
         if fano:
             dec = jnp.swapaxes(state[0][fp._DECODED][:L], 0, 1)   # [w, L]
         else:
@@ -205,10 +244,8 @@ def _sequential_host_accumulate(code: Code, spec: SweepSpec, param,
             fin_full = np.full(w, -1, np.int32)
             fin_full[lanes[m]] = fin[m]
             entry = tx_store[bi]
-            be_d, fe_d = _masked_err_counts(dec, entry[0],
-                                            jnp.asarray(fin_full))
-            tot[0] += int(be_d)
-            tot[1] += int(fe_d)
+            acc[0] = _acc_err_counts(acc[0], dec, entry[0],
+                                     jnp.asarray(fin_full))
             entry[1] -= int(m.sum())
             if entry[1] == 0:
                 del tx_store[bi]
@@ -217,18 +254,14 @@ def _sequential_host_accumulate(code: Code, spec: SweepSpec, param,
                           what=f"{spec.decoder}_{code.name}")
     for i in range(nsteps):
         key = jax.random.fold_in(jax.random.fold_in(pkey, chunk_idx), i)
-        bits, rx = front(key, jnp.float32(param))
+        bits, syms, state = front(key, jnp.float32(param))
         tx_store[i] = [bits, B]      # stays on device; freed when banked
-        syms = sp.pack_syms(code, rx, soft, Bp)
-        if fano:
-            state = fp._pack_init(code, rx, soft, spec.timeout_per_bit, Bp)
-        else:
-            state = sp._init_state(code, Bp, B)
-        pool.submit(syms, state, np.arange(i * B, i * B + B))
-        tot[2] += B * L
+        pool.submit(syms, list(state), np.arange(i * B, i * B + B))
+        nbits += B * L
     pool.flush()
     assert not tx_store, "pool lost frames"
-    return tuple(tot)
+    be, fe = (int(x) for x in np.asarray(acc[0]))
+    return be, fe, nbits
 
 
 def run_sweep(spec: SweepSpec, mesh=None, checkpoint_path: Optional[str] = None,

@@ -183,7 +183,7 @@ CONFIGS = {
     # Straggler frames are amortized across each point by the decode pool
     # (ops/seq_chunking.py), so the full low-SNR sweeps are tractable.
     **{f"awgn_{dec}_{dm}_{i}": (dict(code=i, channel="awgn", decoder=dec,
-                                     demapper=dm, frames_per_step=32768),
+                                     demapper=dm, frames_per_step=131072),
                                 f"ber_coded_{c}{'h' if dm == 'hard' else ''}"
                                 f"_{dec}",
                                 "awgn")
@@ -191,7 +191,7 @@ CONFIGS = {
        for dm in ("soft", "hard")
        for c, i in zip("abcdef", [0, 1, 2, 3, 5, 4])},
     **{f"bsc_{dec}_{i}": (dict(code=i, channel="bsc", decoder=dec,
-                               frames_per_step=32768),
+                               frames_per_step=131072),
                           f"ber_coded_{c}_{dec}", "bsc")
        for dec in ("stack", "fano")
        for c, i in zip("abcdef", [0, 1, 2, 3, 5, 4])},
