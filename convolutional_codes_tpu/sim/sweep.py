@@ -125,8 +125,8 @@ def _masked_err_counts(dec, tx, fin):
 @jax.jit
 def _acc_err_counts(acc, dec, tx, fin):
     """Accumulate error counts ON DEVICE — the tunneled backend's RTT makes
-    every host readback cost ~2-5 ms, so a sweep point reads the counters
-    back exactly once (see CLAUDE.md)."""
+    every host readback cost ~2-5 ms, so the counters cross the tunnel once
+    per accumulate chunk, not once per banked batch (see CLAUDE.md)."""
     return acc + _masked_err_counts(dec, tx, fin)
 
 
@@ -231,7 +231,7 @@ def _sequential_host_accumulate(code: Code, spec: SweepSpec, param,
 
     def collect(frame_ids, lanes, state):
         # error counting stays on device, accumulated into `acc` — the
-        # counters cross the tunnel exactly once per point
+        # counters cross the tunnel once per accumulate chunk
         if fano:
             dec = jnp.swapaxes(state[0][fp._DECODED][:L], 0, 1)   # [w, L]
         else:

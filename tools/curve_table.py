@@ -14,7 +14,6 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import json
 import sys
 from pathlib import Path
 
@@ -22,17 +21,17 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 from tools.reproduce_curves import (  # noqa: E402
-    CONFIGS, GOLD, RESULTS, compare)
+    CONFIGS, GOLD, RESULTS, Z_THRESHOLD, aggregate_bits_per_s, compare)
 from convolutional_codes_tpu.sim.sweep import (  # noqa: E402
     PointRecord, awgn_tier_bits, bsc_tier_bits)
+from convolutional_codes_tpu.utils.records import read_jsonl  # noqa: E402
 
 
 def load(name):
     path = RESULTS / f"{name}.jsonl"
     if not path.exists():
         return None
-    with open(path) as f:
-        return [PointRecord(**json.loads(l)) for l in f if l.strip()]
+    return read_jsonl(path, PointRecord)
 
 
 def scale_of(records, channel):
@@ -55,9 +54,8 @@ def main():
             rows.append((name, channel, 0, 0.0, None, None))
             continue
         grid = GOLD[channel]["SNR" if channel == "awgn" else "ber_uncoded"]
-        _, worst = compare(records, channel, row, 1.0)
-        agg = (sum(r.bits for r in records)
-               / max(sum(r.wall_s for r in records), 1e-9))
+        _, worst = compare(records, channel, row)
+        agg = aggregate_bits_per_s(records)
         rows.append((name, channel, f"{len(records)}/{len(grid)}",
                      scale_of(records, channel), worst, agg))
 
@@ -76,8 +74,8 @@ def main():
         if worst is None:
             print(f"{'MISS':4} {name:26s}")
         else:
-            flag = "OK " if worst < 4.5 and scale >= 0.99 else (
-                "PART" if worst < 4.5 else "WARN")
+            flag = "OK " if worst < Z_THRESHOLD and scale >= 0.99 else (
+                "PART" if worst < Z_THRESHOLD else "WARN")
             print(f"{flag:4} {name:26s} grid={grid:6} scale={scale:8.2g} "
                   f"worst|z|={worst:6.2f} {agg:.3e} bits/s")
 

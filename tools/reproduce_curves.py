@@ -32,6 +32,15 @@ from convolutional_codes_tpu.utils import records as rec  # noqa: E402
 GOLD = json.load(open(REPO / "tests" / "goldens" / "published_curves.json"))
 RESULTS = REPO / "results"
 
+#: pass/fail acceptance on the clustered z-scores (shared with
+#: tools/curve_table.py so the README table and the run summaries agree)
+Z_THRESHOLD = 4.5
+
+
+def aggregate_bits_per_s(records) -> float:
+    return (sum(r.bits for r in records)
+            / max(sum(r.wall_s for r in records), 1e-9))
+
 
 def zscore(p_obs, n_obs, p_pub, n_pub, cluster=1.0):
     if p_obs == 0 and p_pub == 0:
@@ -103,7 +112,7 @@ def _cluster_for(records, i, min_events=10):
     return None
 
 
-def compare(records, channel, row_name, scale):
+def compare(records, channel, row_name):
     pub = GOLD[channel][row_name]
     grid = GOLD[channel]["SNR" if channel == "awgn" else "ber_uncoded"]
     tier = awgn_tier_bits if channel == "awgn" else bsc_tier_bits
@@ -230,24 +239,22 @@ def main():
                 print("  (no results yet)", flush=True)
                 continue
             from convolutional_codes_tpu.sim.sweep import PointRecord
-            with open(path) as f:
-                records = [PointRecord(**json.loads(l)) for l in f
-                           if l.strip()]
+            records = rec.read_jsonl(path, PointRecord)
         else:
             sfx = "" if scale == 1.0 else f"_s{scale:g}"
             ckpt = str(RESULTS / f"{name}{sfx}.ckpt.json")
             records = run_sweep(spec, verbose=True, checkpoint_path=ckpt)
             rec.write_jsonl(records, str(RESULTS / f"{name}.jsonl"))
             rec.write_octave([(name, records)], str(RESULTS / f"{name}.m"))
-        lines, worst = compare(records, channel, row, scale)
+        lines, worst = compare(records, channel, row)
         print("\n".join(lines), flush=True)
-        agg = sum(r.bits for r in records) / sum(r.wall_s for r in records)
+        agg = aggregate_bits_per_s(records)
         summary.append((name, worst, agg))
         print(f"  worst |z| = {worst:.2f}, aggregate {agg:.3e} bits/s", flush=True)
 
     print("\n=== summary ===")
     for name, worst, agg in summary:
-        flag = "OK " if worst < 4.5 else "WARN"
+        flag = "OK " if worst < Z_THRESHOLD else "WARN"
         print(f"{flag} {name:26s} worst|z|={worst:6.2f} {agg:.3e} bits/s")
 
 
