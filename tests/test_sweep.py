@@ -99,6 +99,11 @@ def test_records_output(tmp_path):
     write_jsonl(recs, p)
     row = json.loads(open(p).read().splitlines()[0])
     assert row["channel"] == "bsc" and row["bits"] == 128 * 40
+    # read_jsonl round-trips the typed records (shared by the tools)
+    from convolutional_codes_tpu.sim.sweep import PointRecord
+    from convolutional_codes_tpu.utils.records import read_jsonl
+    assert read_jsonl(p, PointRecord) == recs
+    assert read_jsonl(p)[0]["bits"] == 128 * 40
 
 
 def test_cli_end_to_end(tmp_path, capsys):
