@@ -8,7 +8,10 @@
  * reference sources; never part of the framework).
  *
  * Usage: harness_ber_bsc <code_idx> <nblocks> <seed> <rate_ppm>
- * Output: "<bits> <bit_errors>"
+ * Output: "<bits> <bit_errors> <frame_errors>"
+ *
+ * Build with one of binary-symmetric-channel/{viterbi,stack,fano}-decoder.c
+ * like the reference's CMake component selection.
  */
 #include <stdio.h>
 #include <stdlib.h>
@@ -58,7 +61,7 @@ int main(int argc, char** argv) {
     int L = param.block_len;
     int nbytes = (L + 7) / 8;
     uint8_t packed[64];
-    long long bits = 0, errs = 0;
+    long long bits = 0, errs = 0, ferrs = 0;
 
     for (long b = 0; b < nblocks; ++b) {
         for (int i = 0; i < nbytes; ++i) packed[i] = (uint8_t)(rand() % 256);
@@ -74,13 +77,15 @@ int main(int argc, char** argv) {
             txsym[t] = s;
         }
         decoder_input(dec, txsym, (uint8_t)T);
+        long long before = errs;
         for (int i = 0; i < L; ++i) {
             int tx = (packed[i / 8] >> (7 - (i % 8))) & 1;
             int rxb = (dec_bits[i / 8] >> (7 - (i % 8))) & 1;
             if (tx != rxb) ++errs;
         }
+        if (errs != before) ++ferrs;
         bits += L;
     }
-    printf("%lld %lld\n", bits, errs);
+    printf("%lld %lld %lld\n", bits, errs, ferrs);
     return 0;
 }
