@@ -62,31 +62,50 @@ def _table_ulp(channel, row_name):
     return 1e-8
 
 
-#: rows whose published tables deviate from the reference's own current
-#: code (stale archive data): adjudicated by freshly compiling and running
-#: the reference chain this session — see results/reference_fresh_bsc.json
-#: and tools/golden_harness/harness_ber_bsc.c.  For these rows the z is
-#: computed against the fresh measurement (two-sample, both clustered).
-_FRESH_ROWS = {("bsc", "ber_coded_b"): "code_1",
-               ("bsc", "ber_coded_e"): "code_5"}
+#: rows whose published tables deviate from the reference chain's own
+#: ideal-channel behavior, adjudicated by freshly compiling and running the
+#: reference chain this session (tools/golden_harness/harness_ber_bsc.c).
+#: Two causes, both documented in the cited JSON notes:
+#:   * stale archive data (BSC Viterbi codes 1/5 — the published tables
+#:     disagree with the current reference code itself),
+#:   * the reference BSC channel sampler's RNG artifact (glibc rand()%1e6:
+#:     +0.024% modulo-biased crossover plus lagged-Fibonacci serial
+#:     correlation), which burst-sensitive sequential decoders amplify into
+#:     +1.4% (K=6 stack) to +7% (K=32 WSPR stack) BER inflation at mid
+#:     crossovers; the fresh rows for those configs re-run the identical
+#:     chain with only the channel RNG replaced (exact-threshold
+#:     splitmix64), i.e. the ideal BSC the framework's threefry channel
+#:     also samples.
+#: For these rows the z is computed against the fresh measurement
+#: (two-sample, both clustered).
+_FRESH_SOURCES = (
+    ("reference_fresh_bsc.json",
+     {("bsc", "ber_coded_b"): "code_1",
+      ("bsc", "ber_coded_e"): "code_5"}),
+    ("reference_fresh_bsc_seq.json",
+     {("bsc", "ber_coded_c_stack"): "code_2",
+      ("bsc", "ber_coded_d_stack"): "code_3",
+      ("bsc", "ber_coded_f_stack"): "code_4"}),
+)
 
 
-@functools.lru_cache(maxsize=1)
-def _fresh_data():
+@functools.lru_cache(maxsize=None)
+def _fresh_data(fname):
     try:
-        return json.load(open(RESULTS / "reference_fresh_bsc.json"))
+        return json.load(open(RESULTS / fname))
     except FileNotFoundError:
         return None
 
 
 def _fresh_lookup(channel, row_name, point):
-    key = _FRESH_ROWS.get((channel, row_name))
-    data = _fresh_data()
-    if key is None or data is None:
-        return None
-    for r in data["rows"][key]:
-        if abs(r["crossover"] - point) < 1e-12:
-            return r
+    for fname, rows in _FRESH_SOURCES:
+        key = rows.get((channel, row_name))
+        data = _fresh_data(fname) if key else None
+        if data is None:
+            continue
+        for r in data["rows"].get(key, ()):
+            if abs(r["crossover"] - point) < 1e-12:
+                return r
     return None
 
 
