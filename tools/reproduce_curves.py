@@ -85,7 +85,9 @@ _FRESH_SOURCES = (
     ("reference_fresh_bsc_seq.json",
      {("bsc", "ber_coded_c_stack"): "code_2",
       ("bsc", "ber_coded_d_stack"): "code_3",
-      ("bsc", "ber_coded_f_stack"): "code_4"}),
+      ("bsc", "ber_coded_f_stack"): "code_4",
+      ("bsc", "ber_coded_d_fano"): "code_3_fano",
+      ("bsc", "ber_coded_e_fano"): "code_5_fano"}),
 )
 
 
