@@ -87,7 +87,8 @@ _FRESH_SOURCES = (
       ("bsc", "ber_coded_d_stack"): "code_3",
       ("bsc", "ber_coded_f_stack"): "code_4",
       ("bsc", "ber_coded_d_fano"): "code_3_fano",
-      ("bsc", "ber_coded_e_fano"): "code_5_fano"}),
+      ("bsc", "ber_coded_e_fano"): "code_5_fano",
+      ("bsc", "ber_coded_f_fano"): "code_4_fano"}),
 )
 
 
