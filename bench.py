@@ -168,9 +168,12 @@ def bench_all():
     """One JSON line per BASELINE.json config (0-4), headline last."""
     # decode-only ACS kernel rate (PERF.md roofline row)
     _bench_acs(0, "acs_pallas_k3")
-    # config 0: K=3 hard Viterbi, BSC, 1e6-bit frames.  B=16 needs 16.01G
+    # config 0: K=3 (7,5) hard Viterbi, BSC, 1e6-bit frames.  BASELINE.json
+    # names the classic non-catastrophic (7,5) code here — reference code 0
+    # (101,011) is catastrophic (shared (1+D) factor) and only usable on
+    # short terminated blocks, not million-bit frames.  B=16 needs 16.01G
     # of HBM (measured: 270M over the 15.75G chip); B=8 leaves 2x headroom.
-    _bench_longframe(0, "bsc_hard_viterbi_k3_1e6bit_frames", True,
+    _bench_longframe("k3-75", "bsc_hard_viterbi_k3_1e6bit_frames", True,
                      frame_bits=1 << 20, B=8, baseline=9.4e6)
     # config 2: K=7 NASA soft Viterbi, long streaming frames
     _bench_longframe("nasa-k7", "awgn_soft_viterbi_k7_streaming", False,

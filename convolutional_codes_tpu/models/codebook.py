@@ -193,6 +193,19 @@ def _register_builtins() -> None:
 
     # Framework extensions (no reference counterpart; BASELINE.json configs).
     extensions = [
+        Code(  # classic K=3 (7,5) — BASELINE.json config 0 (long BSC frames).
+            # Non-catastrophic (gcd(1+D+D^2, 1+D^2) = 1), unlike reference
+            # code 0 (101,011) whose generators share the factor (1+D):
+            # that code is fine on the reference's 40-bit terminated blocks
+            # but smears channel errors indefinitely on unterminated long
+            # frames, so it must not be used for streaming configurations.
+            name="k3-75",
+            symlen_out=2, constraint_length=3, block_length=40,
+            polynomials=(0b111, 0b101),
+            bit_metrics=(1, -15), fano_bit_metrics=(1, -20),
+            metric_weight=-15.0, fano_metric_weight=-200.0,
+            parity=PARITY_TRUE,
+        ),
         Code(  # NASA standard (171, 133) K=7 — streaming/long-frame config
             name="nasa-k7",
             symlen_out=2, constraint_length=7, block_length=200,

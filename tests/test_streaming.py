@@ -96,3 +96,31 @@ def test_long_frame_chunked_pallas_matches_monolithic():
     end_state = jnp.argmin(carry, axis=0).astype(jnp.int32)
     out = np.asarray(traceback_from(tr, decisions, end_state))
     assert np.array_equal(out, mono)
+
+
+def _bsc_longframe_ber(code, B, L, p, seed):
+    """Decoded BER of a long unterminated BSC frame (bench config 0 shape)."""
+    from convolutional_codes_tpu.ops.viterbi import hard_branch_metrics
+
+    key = jax.random.PRNGKey(seed)
+    bits = jax.random.bernoulli(key, 0.5, (B, L)).astype(jnp.int32)
+    syms = encode_stream(code, bits, terminate=True)
+    kf = jax.random.split(key)[0]
+    flips = jax.random.bernoulli(kf, p, syms.shape + (code.symlen_out,))
+    fl = jnp.sum(flips.astype(jnp.int32) << jnp.arange(code.symlen_out), -1)
+    bm = hard_branch_metrics(code, syms ^ fl).astype(jnp.float32)
+    out = monolithic_reference_decode(code, bm)
+    return float(np.asarray(out[:, :L] != bits).mean())
+
+
+def test_k3_75_long_frames_non_catastrophic():
+    """BASELINE config 0 must use the (7,5) code: reference code 0
+    (101,011) has generators sharing the factor (1+D) (catastrophic), so a
+    1.25% BSC flip rate smears into order-0.5 BER on unterminated long
+    frames, while (7,5) holds the short-block operating point."""
+    ber_75 = _bsc_longframe_ber(get_code("k3-75"), B=4, L=4094,
+                                p=0.0125, seed=7)
+    ber_cat = _bsc_longframe_ber(get_code(0), B=4, L=4094,
+                                 p=0.0125, seed=7)
+    assert ber_75 < 0.02, ber_75
+    assert ber_cat > 0.1, ber_cat
