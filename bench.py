@@ -23,6 +23,36 @@ if os.environ.get("CONVCODES_CPU"):
     # the axon sitecustomize preimports jax on the TPU backend regardless of
     # JAX_PLATFORMS; this is the only reliable way to force a CPU run
     jax.config.update("jax_platforms", "cpu")
+
+
+def _probe_backend(timeout_s: float = 240.0):
+    """Bounded first-device-touch in a SUBPROCESS.  When the TPU tunnel
+    relay is dead (CLAUDE.md), backend init blocks forever while holding
+    the GIL (an in-process watchdog thread cannot fire) — probe out of
+    process and fail fast with a diagnostic instead of hanging the
+    driver.  Skipped for forced-CPU runs."""
+    if os.environ.get("CONVCODES_CPU"):
+        return "cpu"
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; import jax.numpy as jnp; "
+             "jnp.zeros(8).block_until_ready(); "
+             "print(jax.default_backend())"],
+            capture_output=True, text=True, timeout=timeout_s)
+        if r.returncode == 0:
+            return r.stdout.strip().splitlines()[-1]
+        reason = (r.stderr or r.stdout).strip().splitlines()[-1:] or ["?"]
+        reason = f"backend init failed: {reason[0]}"
+    except subprocess.TimeoutExpired:
+        reason = (f"backend init did not answer within {timeout_s}s "
+                  "(TPU tunnel relay down?)")
+    print(json.dumps({"metric": "bench_unavailable", "value": 0, "unit": "",
+                      "detail": {"reason": reason}}), flush=True)
+    os._exit(3)
+
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -76,7 +106,8 @@ def _bench_longframe(code_key, metric, hard, frame_bits, B, baseline):
     time-chunked VMEM ACS with carried metrics (parallel/streaming.py)."""
     from convolutional_codes_tpu.ops.encoder import encode_stream
     from convolutional_codes_tpu.ops.viterbi import hard_branch_metrics
-    from convolutional_codes_tpu.parallel.streaming import long_frame_decode_pallas
+    from convolutional_codes_tpu.parallel.streaming import (
+        long_frame_decode_hostseg)
 
     code = get_code(code_key)
     chunk = 256
@@ -104,13 +135,15 @@ def _bench_longframe(code_key, metric, hard, frame_bits, B, baseline):
                                  map_symbols(code, syms), sig))
         return bits, bm
 
-    dec = jax.jit(lambda bm: long_frame_decode_pallas(code, bm, chunk=chunk))
+    # segmented dispatches: bounded per-dispatch runtime (watchdog-safe)
+    dec = lambda bm: long_frame_decode_hostseg(code, bm, chunk=chunk,
+                                               segments=16)
     bits, bm = gen(key)
     out = dec(bm); jax.block_until_ready(out)      # compile
     t0 = time.time()
     bits, bm = gen(jax.random.fold_in(key, 1))
     out = dec(bm)
-    err = int(np.asarray(out[:, :L] != bits).sum())
+    err = int(jnp.sum(out[:, :L] != bits))         # scalar readback only
     dt = time.time() - t0
     _emit(metric, B * L, dt, baseline, frame_bits=L, ber=err / (B * L))
 
@@ -189,6 +222,7 @@ def bench_all():
 
 
 def main():
+    _probe_backend()
     if "--all" in sys.argv:
         if jax.default_backend() == "tpu":
             bench_all()

@@ -40,6 +40,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from convolutional_codes_tpu.models.codebook import Code
 from convolutional_codes_tpu.ops.sequential_common import (
@@ -48,8 +49,8 @@ from convolutional_codes_tpu.ops.sequential_common import (
 FANO_TIMEOUT = 10000   # cycles per decoded bit (fano-decoder.c:14)
 FANO_DELTA = 17.0      # threshold step (fano-decoder.c:15)
 
-_SEARCH = jnp.int8(0)
-_BACKTRACK = jnp.int8(1)
+_SEARCH = np.int8(0)      # numpy: no device touch at import time
+_BACKTRACK = np.int8(1)
 
 
 def _fano_parts(code: Code, symbols: jnp.ndarray, soft: bool,

@@ -31,6 +31,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from convolutional_codes_tpu.models.codebook import Code
 from convolutional_codes_tpu.ops.sequential_common import (
@@ -38,10 +39,12 @@ from convolutional_codes_tpu.ops.sequential_common import (
 
 STACK_DEPTH = 64
 
-_NEG = jnp.float32(-jnp.inf)
-_POS = jnp.float32(jnp.inf)
-_INEG = jnp.int32(-2**31 + 1)
-_IPOS = jnp.int32(2**31 - 1)
+# numpy scalars: device-committed constants at import time would touch the
+# backend on `import convolutional_codes_tpu` (and hang if it is down)
+_NEG = np.float32(-np.inf)
+_POS = np.float32(np.inf)
+_INEG = np.int32(-2**31 + 1)
+_IPOS = np.int32(2**31 - 1)
 
 
 def _stack_decode(code: Code, symbols: jnp.ndarray, soft: bool,

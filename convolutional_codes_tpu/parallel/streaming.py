@@ -148,6 +148,69 @@ def long_frame_decode_pallas(code: Code, dists: jnp.ndarray,
     return traceback_from(trellis, decisions, end_state)
 
 
+@lru_cache(maxsize=None)
+def _hostseg_fns(code: Code, seg_chunks: int, chunk: int, M: int, B: int,
+                 block_lanes: int, interpret: bool):
+    from convolutional_codes_tpu.ops.viterbi_pallas import acs_forward_pallas
+
+    trellis = build_trellis(code)
+
+    @jax.jit
+    def seg_step(carry, dseg):                     # dseg [segT, M, B]
+        def body(c, dchunk):
+            return acs_forward_pallas(trellis, dchunk, c, False,
+                                      block_lanes=min(block_lanes, B),
+                                      interpret=interpret)
+        return jax.lax.scan(body, carry,
+                            dseg.reshape(seg_chunks, chunk, M, B))
+
+    @jax.jit
+    def finish(fm, decs):                          # decs [nseg, segT, w, B]
+        decisions = decs.reshape(-1, decs.shape[-2], decs.shape[-1])
+        end_state = jnp.argmin(fm, axis=0).astype(jnp.int32)
+        return traceback_from(trellis, decisions, end_state)
+
+    return seg_step, finish
+
+
+def long_frame_decode_hostseg(code: Code, dists: jnp.ndarray,
+                              chunk: int = 256, segments: int = 16,
+                              block_lanes: int = 512,
+                              interpret: bool = False) -> jnp.ndarray:
+    """:func:`long_frame_decode_pallas` split into ``segments`` separate
+    device dispatches with the ``[S, B]`` metric front carried on device
+    between them.  Bit-identical output; bounds the per-dispatch runtime so
+    million-bit frames stay under single-dispatch watchdog limits (the
+    tunneled single-chip backend kills device programs running longer than
+    ~1-2 minutes — same driver pattern as ops/seq_chunking).
+
+    ``segments`` must divide the chunk count; each segment reuses one
+    compiled executable.
+    """
+    from convolutional_codes_tpu.ops.viterbi_pallas import BIG_METRIC
+
+    trellis = build_trellis(code)
+    B, T, M = dists.shape
+    if T % chunk:
+        raise ValueError(f"frame length {T} not divisible by chunk {chunk}")
+    nchunk = T // chunk
+    if nchunk % segments:
+        raise ValueError(f"{nchunk} chunks not divisible into "
+                         f"{segments} segments")
+    seg_chunks = nchunk // segments
+    segT = seg_chunks * chunk
+    seg_step, finish = _hostseg_fns(code, seg_chunks, chunk, M, B,
+                                    block_lanes, interpret)
+    d_tmb = jnp.transpose(dists.astype(jnp.float32), (1, 2, 0))
+    S = trellis.num_states
+    carry = jnp.full((S, B), BIG_METRIC, jnp.float32).at[0, :].set(0.0)
+    decs = []
+    for s in range(segments):                      # one dispatch per segment
+        carry, dec = seg_step(carry, d_tmb[s * segT:(s + 1) * segT])
+        decs.append(dec)
+    return finish(carry, jnp.stack(decs))
+
+
 def monolithic_reference_decode(code: Code, dists: jnp.ndarray) -> jnp.ndarray:
     """Single-program long-frame decode (ground truth for boundary checks)."""
     trellis = build_trellis(code)

@@ -124,3 +124,18 @@ def test_k3_75_long_frames_non_catastrophic():
                                  p=0.0125, seed=7)
     assert ber_75 < 0.02, ber_75
     assert ber_cat > 0.1, ber_cat
+
+
+def test_hostseg_decode_matches_monolithic():
+    """Segmented-dispatch long-frame decode == monolithic XLA decode."""
+    from convolutional_codes_tpu.parallel.streaming import (
+        long_frame_decode_hostseg)
+
+    code = get_code("nasa-k7")
+    B, Tt = 64, 1024
+    L = Tt - (code.constraint_length - 1)
+    bits, dists = _noisy_frame(code, B=B, L=L, snr_db=3.0, seed=33)
+    mono = np.asarray(monolithic_reference_decode(code, dists))
+    out = np.asarray(long_frame_decode_hostseg(
+        code, dists, chunk=128, segments=4, block_lanes=64, interpret=True))
+    assert np.array_equal(out, mono)
