@@ -51,6 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--bits-scale", type=float, default=1.0,
                         help="scale the reference 8e8-bit tier base")
         sp.add_argument("--seed", type=int, default=0)
+        sp.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (the preimported TPU "
+                             "platform otherwise wins regardless of "
+                             "JAX_PLATFORMS)")
         sp.add_argument("--mesh", type=str, default=None,
                         help="mesh shape, e.g. 'frames=8' or 'sweep=2,frames=4'")
         sp.add_argument("--jsonl", type=str, default=None)
@@ -74,6 +78,9 @@ def parse_mesh(arg):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if getattr(args, "cpu", False):
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     spec = SweepSpec(
         code=args.code,
         channel=args.channel,
