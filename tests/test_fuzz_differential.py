@@ -88,3 +88,38 @@ def test_random_code_decoders_match_golden_model(seed):
             ("fano_soft", i, code)
         assert np.array_equal(f_h[i], gm.fano_hard(code, hard_rx[i])), \
             ("fano_hard", i, code)
+
+
+@pytest.mark.parametrize("seed", [55, 66])
+def test_random_bigK_sequential_matches_golden_model(seed):
+    """WSPR-class constraint lengths (K ~ 30, random polynomials): the
+    sequential decoders carry the encoder state in wide integers (the
+    reference uses uint64, stack-decoder.c:249-272); only the shipped
+    K=32 WSPR code pins that path in the goldens, so fuzz it too.
+    Viterbi is excluded (2^(K-1) states is not a decoder at this K)."""
+    rng = np.random.default_rng(seed)
+    K = int(rng.integers(28, 33))   # registry caps K at 32 (int32 lanes)
+    polys = tuple(int(rng.integers(1, 1 << K)) | (1 << (K - 1))
+                  for _ in range(2))
+    wrong = -int(rng.integers(20, 50))
+    code = Code(name=f"fuzz-big-{seed}", symlen_out=2, constraint_length=K,
+                block_length=int(rng.integers(12, 20)), polynomials=polys,
+                bit_metrics=(1, wrong), fano_bit_metrics=(1, wrong - 8),
+                metric_weight=-9.0, fano_metric_weight=-13.0,
+                parity=("compat" if rng.integers(2) else "true"))
+    frames = 4
+    bits, hard_rx, dists = _noisy_streams(code, rng, frames)
+
+    s_s = np.asarray(stack_decode_soft(code, jnp.asarray(dists)))
+    s_h = np.asarray(stack_decode_hard(code, jnp.asarray(hard_rx)))
+    f_s = np.asarray(fano_decode_soft(code, jnp.asarray(dists)))
+    f_h = np.asarray(fano_decode_hard(code, jnp.asarray(hard_rx)))
+    for i in range(frames):
+        assert np.array_equal(s_s[i], gm.stack_soft(code, dists[i])), \
+            ("stack_soft", i, code)
+        assert np.array_equal(s_h[i], gm.stack_hard(code, hard_rx[i])), \
+            ("stack_hard", i, code)
+        assert np.array_equal(f_s[i], gm.fano_soft(code, dists[i])), \
+            ("fano_soft", i, code)
+        assert np.array_equal(f_h[i], gm.fano_hard(code, hard_rx[i])), \
+            ("fano_hard", i, code)
