@@ -35,6 +35,16 @@ def _probe_backend(timeout_s: float = 240.0):
         return "cpu"
     import subprocess
     try:
+        # cheap positive check first: on this box a live tunnel relay
+        # process means the backend will answer — skip the subprocess
+        # probe (and its throwaway ~70 s tunnel warmup) entirely
+        ps = subprocess.run(["ps", "-eo", "args"], capture_output=True,
+                            text=True, timeout=10)
+        if ".tpu_init.py" in ps.stdout:
+            return "unprobed"
+    except Exception:
+        pass
+    try:
         r = subprocess.run(
             [sys.executable, "-c",
              "import jax; import jax.numpy as jnp; "

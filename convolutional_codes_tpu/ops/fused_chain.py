@@ -10,6 +10,16 @@ counters.  This is the "speed-of-light" configuration of BASELINE.json:
 the chains the C reference runs at ~6.6e6 / ~9.4e6 bits/s on a CPU core
 (AWGN-channel/main.c:80-144, binary-symmetric-channel/main.c:57-98).
 
+Two schedules share one set of stage/ACS helpers (every per-element float
+expression and the RNG draw order are identical, so their error counters
+are bit-identical — pinned by tests/test_fused_bulk.py):
+
+  * `_mc_kernel` (default): per-symbol loop does encode+channel+demap+ACS.
+  * `_mc_kernel_bulk` (opt-in `bulk_stages=True`): encoder/channel/demap
+    hoisted to whole-[T, Bt] plane ops before the trellis loop — the
+    shift-register recurrence becomes K static row-shifted views of the
+    bit plane; the loop body shrinks to metric loads + ACS.
+
 RNG note: the channel noise uses the TPU-native PRNG
 (distribution-level equivalence with the reference's Box-Muller over libc
 rand — SURVEY.md §2e; the modular path uses threefry).  Each (tile, step)
@@ -80,6 +90,192 @@ def _uniform_from_bits(bits: jnp.ndarray) -> jnp.ndarray:
             + jnp.float32(2.0 ** -32))
 
 
+def _parity_u32(x: jnp.ndarray) -> jnp.ndarray:
+    x = x ^ (x >> 16)
+    x = x ^ (x >> 8)
+    x = x ^ (x >> 4)
+    x = x ^ (x >> 2)
+    x = x ^ (x >> 1)
+    return x & np.uint32(1)
+
+
+def _rand_u32(shape, interpret, sbase, salt):
+    if interpret:
+        return _interp_bits(shape, sbase, salt)
+    return pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+
+
+def _rand_uniform(shape, interpret, sbase, salt):
+    if interpret:
+        return _interp_uniform(shape, sbase, salt)
+    return _uniform_from_bits(pltpu.prng_random_bits(shape))
+
+
+def _stage_fns(trellis: Trellis):
+    """Elementwise stage helpers shared by both kernel schedules: they work
+    unchanged on ``(Bt,)`` rows (loop kernel) and ``(T, Bt)`` planes (bulk
+    kernel) — same expressions, so same float results."""
+    code = trellis.code
+    M = code.points_per_symbol
+    symlen = code.symlen_out
+    points = get_constellation(symlen)
+    polys = [int(p) for p in code.polynomials]
+    from convolutional_codes_tpu.models.trellis import quirk_mask_low
+    from convolutional_codes_tpu.models.codebook import PARITY_COMPAT
+    K = code.constraint_length
+    qmask = quirk_mask_low(K) if code.parity == PARITY_COMPAT else 0
+    inv_nd = float(1.0 / min_sq_distance(symlen))  # python float:
+    # a jnp scalar here would be a captured constant, which pallas rejects
+
+    def esym_of(reg):
+        """encoder parity per polynomial (incl. compat quirk)."""
+        esym = jnp.zeros(reg.shape, jnp.uint32)
+        for p in polys:
+            x = reg & np.uint32(p)
+            bit = _parity_u32(x)
+            if qmask:
+                bit = bit & (np.uint32(1) - _parity_u32(x & np.uint32(qmask)))
+            esym = (esym << 1) | bit
+        return esym
+
+    def hard_dists(rx):
+        """Hamming distance vector to every expected symbol."""
+        out = []
+        for e in range(M):
+            x = rx ^ np.uint32(e)
+            h = x & np.uint32(1)
+            for k in range(1, symlen):
+                h = h + ((x >> k) & np.uint32(1))
+            out.append(h.astype(jnp.int32).astype(jnp.float32))
+        return out
+
+    def tx_select(esym):
+        """symbol index → (I, Q) via a static where-chain (mapper.c:54-71)."""
+        txi = jnp.full(esym.shape, float(points[0, 0]), jnp.float32)
+        txq = jnp.full(esym.shape, float(points[0, 1]), jnp.float32)
+        for e in range(1, M):
+            hit = esym == e
+            txi = jnp.where(hit, float(points[e, 0]), txi)
+            txq = jnp.where(hit, float(points[e, 1]), txq)
+        return txi, txq
+
+    def dist_vec(rxi, rxq):
+        """normalized squared-distance vector (demapper.c:61-85)."""
+        out = []
+        for e in range(M):
+            di = rxi - float(points[e, 0])
+            dq = rxq - float(points[e, 1])
+            out.append(((di * di) + (dq * dq)) * jnp.float32(inv_nd))
+        return out
+
+    def snap(dists):
+        """snap-then-distance (hard-demapper.c:66-87): pick the nearest
+        point (strict less, first wins) and return its coordinates —
+        downstream soft ACS runs unchanged on the re-derived vector."""
+        best = dists[0]
+        sxi = jnp.full(best.shape, float(points[0, 0]), jnp.float32)
+        sxq = jnp.full(best.shape, float(points[0, 1]), jnp.float32)
+        for e in range(1, M):
+            better = dists[e] < best
+            best = jnp.where(better, dists[e], best)
+            sxi = jnp.where(better, float(points[e, 0]), sxi)
+            sxq = jnp.where(better, float(points[e, 1]), sxq)
+        return sxi, sxq
+
+    return esym_of, hard_dists, tx_select, dist_vec, snap
+
+
+def _acs_fns(trellis: Trellis, T: int, L: int, Bt: int, hard: bool):
+    """ACS step, metric init, end-state argmin, and the traceback/error
+    loop — the trellis half shared verbatim by both kernel schedules."""
+    S = trellis.num_states
+    K = trellis.code.constraint_length
+    _, _, _, _, nwords, _ = _tables(trellis)
+    esym0 = trellis.esym_prev[:, 0]
+    esym1 = trellis.esym_prev[:, 1]
+    prev0 = trellis.prev_state[:, 0]
+    prev1 = trellis.prev_state[:, 1]
+    half_mask = (S >> 1) - 1
+
+    def acs_step(metrics, dists, dec_ref, t):
+        """one trellis step: branch select + add-compare-select + packed
+        decision store (ties → branch 0, strict-less — do not 'simplify'
+        to argmin, CLAUDE.md)."""
+        b0 = jnp.concatenate([dists[int(e)][None, :] for e in esym0], 0)
+        b1 = jnp.concatenate([dists[int(e)][None, :] for e in esym1], 0)
+        cand0 = _rows(metrics, prev0) + b0
+        cand1 = _rows(metrics, prev1) + b1
+        if hard:
+            # saturating 0xFF00 arithmetic (BSC viterbi :127-130)
+            cand0 = jnp.minimum(cand0, float(0xFF00))
+            cand1 = jnp.minimum(cand1, float(0xFF00))
+        dec = cand1 < cand0
+        metrics = jnp.where(dec, cand1, cand0)
+        decu = dec.astype(jnp.uint32)
+        for w in range(nwords):
+            lo, hi = w * 32, min(w * 32 + 32, S)
+            acc = decu[lo]
+            for s in range(lo + 1, hi):
+                acc = acc + decu[s] * np.uint32(1 << (s - lo))
+            dec_ref[t, w] = acc.astype(jnp.int32)
+        return metrics
+
+    def init_metrics():
+        init_val = float(0xFF00) if hard else BIG_METRIC
+        init = jnp.full((S, Bt), init_val, jnp.float32)
+        return jnp.concatenate(
+            [jnp.zeros((1, Bt), jnp.float32), init[1:]], axis=0)
+
+    def argmin_lanes(metrics):
+        """in-kernel argmin (strict less → first state wins ties)."""
+        best = metrics[0]
+        cur = jnp.zeros((Bt,), jnp.uint32)
+        for s in range(1, S):
+            better = metrics[s] < best
+            best = jnp.where(better, metrics[s], best)
+            cur = jnp.where(better, np.uint32(s), cur)
+        return cur
+
+    def make_tb(bits_ref, dec_ref):
+        def tb(i, tc):
+            cur, err, fe = tc
+            t = T - 1 - i
+            if nwords == 1:
+                word = dec_ref[t, 0].astype(jnp.uint32)
+            else:
+                widx = (cur >> 5).astype(jnp.uint32)
+                word = dec_ref[t, 0].astype(jnp.uint32)
+                for w in range(1, nwords):
+                    word = jnp.where(widx == w,
+                                     dec_ref[t, w].astype(jnp.uint32), word)
+            b = (word >> (cur & 31)) & 1
+            bit = (cur >> (K - 2)).astype(jnp.int32)
+            mism = ((bit != bits_ref[t]) & (t < L)).astype(jnp.int32)
+            err = err + mism
+            fe = fe | mism
+            cur = ((cur & half_mask) << 1) | b
+            return cur, err, fe
+        return tb
+
+    return acs_step, init_metrics, argmin_lanes, make_tb, nwords
+
+
+def _hbase_for(seed_ref, interpret):
+    if interpret:
+        return _lowbias32(
+            seed_ref[0].astype(jnp.uint32) * np.uint32(0x9E3779B9)
+            ^ (pl.program_id(0).astype(jnp.uint32) + np.uint32(1))
+            * np.uint32(0xC2B2AE35))
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    return None
+
+
+def _step_base(hbase, step, interpret):
+    if interpret:
+        return hbase + step.astype(jnp.uint32) * np.uint32(0x85EBCA6B)
+    return None
+
+
 def _mc_kernel(trellis: Trellis, T: int, L: int, Bt: int,
                channel: str = "awgn", demapper: str = "soft",
                interpret: bool = False):
@@ -97,61 +293,28 @@ def _mc_kernel(trellis: Trellis, T: int, L: int, Bt: int,
     K = code.constraint_length
     if S > _UNROLL_STATES:
         raise NotImplementedError("fused MC kernel supports K <= 7")
-    _, _, _, _, nwords, _ = _tables(trellis)
-    points = get_constellation(code.symlen_out)
-    ndist = min_sq_distance(code.symlen_out)
-    esym0 = trellis.esym_prev[:, 0]
-    esym1 = trellis.esym_prev[:, 1]
-    prev0 = trellis.prev_state[:, 0]
-    prev1 = trellis.prev_state[:, 1]
-    half_mask = (S >> 1) - 1
-    polys = [int(p) for p in code.polynomials]
-    from convolutional_codes_tpu.models.trellis import quirk_mask_low
-    from convolutional_codes_tpu.models.codebook import PARITY_COMPAT
-    qmask = quirk_mask_low(K) if code.parity == PARITY_COMPAT else 0
-
-    def parity_u32(x):
-        x = x ^ (x >> 16)
-        x = x ^ (x >> 8)
-        x = x ^ (x >> 4)
-        x = x ^ (x >> 2)
-        x = x ^ (x >> 1)
-        return x & np.uint32(1)
-
+    esym_of, hard_dists, tx_select, dist_vec, snap = _stage_fns(trellis)
+    acs_step, init_metrics, argmin_lanes, make_tb, nwords = _acs_fns(
+        trellis, T, L, Bt, hard=channel == "bsc")
     symlen = code.symlen_out
     hard = channel == "bsc"
 
     def kernel(seed_ref, sigma_ref, nsteps_ref, err_ref, bits_ref, noise_ref,
                dec_ref, flips_ref):
-        if interpret:
-            hbase = _lowbias32(
-                seed_ref[0].astype(jnp.uint32) * np.uint32(0x9E3779B9)
-                ^ (pl.program_id(0).astype(jnp.uint32) + np.uint32(1))
-                * np.uint32(0xC2B2AE35))
-        else:
-            pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+        hbase = _hbase_for(seed_ref, interpret)
         param = sigma_ref[0]
         row_live = jax.lax.broadcasted_iota(jnp.int32, (T, Bt), 0) < L
-        inv_nd = jnp.float32(1.0 / ndist)
 
         def one_step(step, carry):
             errs, ferrs = carry
-            if interpret:
-                sbase = hbase + step.astype(jnp.uint32) * np.uint32(0x85EBCA6B)
+            sbase = _step_base(hbase, step, interpret)
             # fresh info bits (tail rows forced to zero — encoder.c:112-115)
-            if interpret:
-                rnd = _interp_bits((T, Bt), sbase, 0)
-            else:
-                rnd = pltpu.bitcast(pltpu.prng_random_bits((T, Bt)), jnp.uint32)
+            rnd = _rand_u32((T, Bt), interpret, sbase, 0)
             bits_ref[:] = jnp.where(row_live, (rnd & 1).astype(jnp.int32), 0)
             if hard:
                 # per-coded-bit flip masks packed into a symbol-wide int
                 # (binary-symmetric-channel/main.c:61-68)
-                if interpret:
-                    u = _interp_uniform((symlen, T, Bt), sbase, 1)
-                else:
-                    u = _uniform_from_bits(
-                        pltpu.prng_random_bits((symlen, T, Bt)))
+                u = _rand_uniform((symlen, T, Bt), interpret, sbase, 1)
                 fmask = jnp.zeros((T, Bt), jnp.uint32)
                 for k in range(symlen):
                     fk = (u[k] < param).astype(jnp.uint32)
@@ -159,10 +322,7 @@ def _mc_kernel(trellis: Trellis, T: int, L: int, Bt: int,
                 flips_ref[:] = fmask.astype(jnp.int32)
             else:
                 # bulk Box-Muller noise for the whole block
-                if interpret:
-                    u = _interp_uniform((2, T, Bt), sbase, 2)
-                else:
-                    u = _uniform_from_bits(pltpu.prng_random_bits((2, T, Bt)))
+                u = _rand_uniform((2, T, Bt), interpret, sbase, 2)
                 r = jnp.sqrt(-2.0 * jnp.log(u[0]))
                 theta = jnp.float32(_TWO_PI) * u[1]
                 noise_ref[0] = r * jnp.cos(theta)
@@ -172,111 +332,27 @@ def _mc_kernel(trellis: Trellis, T: int, L: int, Bt: int,
                 metrics, reg = fc
                 bitrow = bits_ref[t].astype(jnp.uint32)
                 reg = (reg >> 1) | (bitrow << (K - 1))
-                # encoder parity per polynomial (incl. compat quirk)
-                esym = jnp.zeros((Bt,), jnp.uint32)
-                for p in polys:
-                    x = reg & np.uint32(p)
-                    bit = parity_u32(x)
-                    if qmask:
-                        bit = bit & (np.uint32(1) - parity_u32(x & np.uint32(qmask)))
-                    esym = (esym << 1) | bit
+                esym = esym_of(reg)
                 if hard:
-                    rx = esym ^ flips_ref[t].astype(jnp.uint32)
-                    dists = []
-                    for e in range(M):
-                        x = rx ^ np.uint32(e)
-                        h = x & np.uint32(1)
-                        for k in range(1, symlen):
-                            h = h + ((x >> k) & np.uint32(1))
-                        dists.append(h.astype(jnp.int32).astype(jnp.float32))
+                    dists = hard_dists(esym ^ flips_ref[t].astype(jnp.uint32))
                 else:
-                    txi = jnp.full((Bt,), float(points[0, 0]), jnp.float32)
-                    txq = jnp.full((Bt,), float(points[0, 1]), jnp.float32)
-                    for e in range(1, M):
-                        hit = esym == e
-                        txi = jnp.where(hit, float(points[e, 0]), txi)
-                        txq = jnp.where(hit, float(points[e, 1]), txq)
+                    txi, txq = tx_select(esym)
                     rxi = txi + param * noise_ref[0, t]
                     rxq = txq + param * noise_ref[1, t]
-                    dists = []
-                    for e in range(M):
-                        di = rxi - float(points[e, 0])
-                        dq = rxq - float(points[e, 1])
-                        dists.append(((di * di) + (dq * dq)) * inv_nd)
+                    dists = dist_vec(rxi, rxq)
                     if demapper == "hard":
-                        # snap-then-distance (hard-demapper.c:66-87): pick
-                        # the nearest point (strict less, first wins), then
-                        # re-derive the distance vector from the snapped
-                        # point — downstream soft ACS runs unchanged
-                        best = dists[0]
-                        sxi = jnp.full((Bt,), float(points[0, 0]), jnp.float32)
-                        sxq = jnp.full((Bt,), float(points[0, 1]), jnp.float32)
-                        for e in range(1, M):
-                            better = dists[e] < best
-                            best = jnp.where(better, dists[e], best)
-                            sxi = jnp.where(better, float(points[e, 0]), sxi)
-                            sxq = jnp.where(better, float(points[e, 1]), sxq)
-                        dists = []
-                        for e in range(M):
-                            di = sxi - float(points[e, 0])
-                            dq = sxq - float(points[e, 1])
-                            dists.append(((di * di) + (dq * dq)) * inv_nd)
-                b0 = jnp.concatenate([dists[int(e)][None, :] for e in esym0], 0)
-                b1 = jnp.concatenate([dists[int(e)][None, :] for e in esym1], 0)
-                cand0 = _rows(metrics, prev0) + b0
-                cand1 = _rows(metrics, prev1) + b1
-                if hard:
-                    # saturating 0xFF00 arithmetic (BSC viterbi :127-130)
-                    cand0 = jnp.minimum(cand0, float(0xFF00))
-                    cand1 = jnp.minimum(cand1, float(0xFF00))
-                dec = cand1 < cand0
-                metrics = jnp.where(dec, cand1, cand0)
-                decu = dec.astype(jnp.uint32)
-                for w in range(nwords):
-                    lo, hi = w * 32, min(w * 32 + 32, S)
-                    acc = decu[lo]
-                    for s in range(lo + 1, hi):
-                        acc = acc + decu[s] * np.uint32(1 << (s - lo))
-                    dec_ref[t, w] = acc.astype(jnp.int32)
+                        sxi, sxq = snap(dists)
+                        dists = dist_vec(sxi, sxq)
+                metrics = acs_step(metrics, dists, dec_ref, t)
                 return metrics, reg
 
-            init_val = float(0xFF00) if hard else BIG_METRIC
-            init = jnp.full((S, Bt), init_val, jnp.float32)
-            init = jnp.concatenate(
-                [jnp.zeros((1, Bt), jnp.float32), init[1:]], axis=0)
             metrics, _ = jax.lax.fori_loop(
-                0, T, fwd, (init, jnp.zeros((Bt,), jnp.uint32)))
-
-            # in-kernel argmin (strict less → first state wins ties)
-            best = metrics[0]
-            cur = jnp.zeros((Bt,), jnp.uint32)
-            for s in range(1, S):
-                better = metrics[s] < best
-                best = jnp.where(better, metrics[s], best)
-                cur = jnp.where(better, np.uint32(s), cur)
-
-            def tb(i, tc):
-                cur, err, fe = tc
-                t = T - 1 - i
-                if nwords == 1:
-                    word = dec_ref[t, 0].astype(jnp.uint32)
-                else:
-                    widx = (cur >> 5).astype(jnp.uint32)
-                    word = dec_ref[t, 0].astype(jnp.uint32)
-                    for w in range(1, nwords):
-                        word = jnp.where(widx == w,
-                                         dec_ref[t, w].astype(jnp.uint32), word)
-                b = (word >> (cur & 31)) & 1
-                bit = (cur >> (K - 2)).astype(jnp.int32)
-                mism = ((bit != bits_ref[t]) & (t < L)).astype(jnp.int32)
-                err = err + mism
-                fe = fe | mism
-                cur = ((cur & half_mask) << 1) | b
-                return cur, err, fe
-
+                0, T, fwd, (init_metrics(), jnp.zeros((Bt,), jnp.uint32)))
+            cur = argmin_lanes(metrics)
             _, err, fe = jax.lax.fori_loop(
-                0, T, tb, (cur, jnp.zeros((Bt,), jnp.int32),
-                           jnp.zeros((Bt,), jnp.int32)))
+                0, T, make_tb(bits_ref, dec_ref),
+                (cur, jnp.zeros((Bt,), jnp.int32),
+                 jnp.zeros((Bt,), jnp.int32)))
             return errs + err, ferrs + fe
 
         # dynamic trip count: a large static bound tempts the compiler to
@@ -294,70 +370,37 @@ def _mc_kernel(trellis: Trellis, T: int, L: int, Bt: int,
 def _mc_kernel_bulk(trellis: Trellis, T: int, L: int, Bt: int,
                     channel: str = "awgn", demapper: str = "soft",
                     interpret: bool = False):
-    """Bulk-staged variant of :func:`_mc_kernel`: encoder, channel and
-    demapper run as full ``[T, Bt]`` array ops BEFORE the trellis loop, so
-    the per-symbol fori_loop body shrinks to branch-metric loads + ACS.
-
-    The RNG draw order and every per-element float expression are identical
-    to the loop kernel, so for a given (seed, tile) the error counters are
-    bit-identical (tested in interpret mode); only the op schedule differs.
-    The shift-register recurrence vanishes into K static row-shifted views
-    of the bit plane (reg[t] = sum_j bits[t-j] << (K-1-j)) — encoder.c's
-    sequential register walk becomes K shifted adds on [T, Bt] planes.
-    """
+    """Bulk-staged schedule of :func:`_mc_kernel` (same stage/ACS helpers,
+    same RNG draw order → bit-identical counters): encoder, channel and
+    demapper run as full ``[T, Bt]`` plane ops into an ``[M, T, Bt]``
+    branch-metric scratch BEFORE the trellis loop, whose body shrinks to
+    metric loads + ACS.  The shift-register recurrence becomes K static
+    row-shifted views of the bit plane (reg[t] = sum_j bits[t-j] <<
+    (K-1-j)) — encoder.c's sequential register walk as K shifted ORs."""
     code = trellis.code
     S = trellis.num_states
     M = code.points_per_symbol
     K = code.constraint_length
     if S > _UNROLL_STATES:
         raise NotImplementedError("fused MC kernel supports K <= 7")
-    _, _, _, _, nwords, _ = _tables(trellis)
-    points = get_constellation(code.symlen_out)
-    ndist = min_sq_distance(code.symlen_out)
-    esym0 = trellis.esym_prev[:, 0]
-    esym1 = trellis.esym_prev[:, 1]
-    prev0 = trellis.prev_state[:, 0]
-    prev1 = trellis.prev_state[:, 1]
-    half_mask = (S >> 1) - 1
-    polys = [int(p) for p in code.polynomials]
-    from convolutional_codes_tpu.models.trellis import quirk_mask_low
-    from convolutional_codes_tpu.models.codebook import PARITY_COMPAT
-    qmask = quirk_mask_low(K) if code.parity == PARITY_COMPAT else 0
-
-    def parity_u32(x):
-        x = x ^ (x >> 16)
-        x = x ^ (x >> 8)
-        x = x ^ (x >> 4)
-        x = x ^ (x >> 2)
-        x = x ^ (x >> 1)
-        return x & np.uint32(1)
-
+    esym_of, hard_dists, tx_select, dist_vec, snap = _stage_fns(trellis)
+    acs_step, init_metrics, argmin_lanes, make_tb, nwords = _acs_fns(
+        trellis, T, L, Bt, hard=channel == "bsc")
     symlen = code.symlen_out
     hard = channel == "bsc"
 
-    def kernel(seed_ref, sigma_ref, nsteps_ref, err_ref, bits_ref, noise_ref,
-               dec_ref, flips_ref, dists_ref):
-        if interpret:
-            hbase = _lowbias32(
-                seed_ref[0].astype(jnp.uint32) * np.uint32(0x9E3779B9)
-                ^ (pl.program_id(0).astype(jnp.uint32) + np.uint32(1))
-                * np.uint32(0xC2B2AE35))
-        else:
-            pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    def kernel(seed_ref, sigma_ref, nsteps_ref, err_ref, bits_ref,
+               dec_ref, dists_ref):
+        hbase = _hbase_for(seed_ref, interpret)
         param = sigma_ref[0]
         row_live = jax.lax.broadcasted_iota(jnp.int32, (T, Bt), 0) < L
-        inv_nd = jnp.float32(1.0 / ndist)
         zrow = jnp.zeros((1, Bt), jnp.uint32)
 
         def one_step(step, carry):
             errs, ferrs = carry
-            if interpret:
-                sbase = hbase + step.astype(jnp.uint32) * np.uint32(0x85EBCA6B)
+            sbase = _step_base(hbase, step, interpret)
             # fresh info bits (tail rows forced to zero — encoder.c:112-115)
-            if interpret:
-                rnd = _interp_bits((T, Bt), sbase, 0)
-            else:
-                rnd = pltpu.bitcast(pltpu.prng_random_bits((T, Bt)), jnp.uint32)
+            rnd = _rand_u32((T, Bt), interpret, sbase, 0)
             bits_ref[:] = jnp.where(row_live, (rnd & 1).astype(jnp.int32), 0)
 
             # ---- bulk encode: register plane from K shifted bit views ----
@@ -367,127 +410,40 @@ def _mc_kernel_bulk(trellis: Trellis, T: int, L: int, Bt: int,
                 shifted = jnp.concatenate(
                     [jnp.broadcast_to(zrow, (j, Bt)), bplane[:T - j]], axis=0)
                 reg = reg | (shifted << (K - 1 - j))
-            esym = jnp.zeros((T, Bt), jnp.uint32)
-            for p in polys:
-                x = reg & np.uint32(p)
-                bit = parity_u32(x)
-                if qmask:
-                    bit = bit & (np.uint32(1) - parity_u32(x & np.uint32(qmask)))
-                esym = (esym << 1) | bit
+            esym = esym_of(reg)
 
             # ---- bulk channel + demap into the [M, T, Bt] metric plane ----
             if hard:
-                if interpret:
-                    u = _interp_uniform((symlen, T, Bt), sbase, 1)
-                else:
-                    u = _uniform_from_bits(
-                        pltpu.prng_random_bits((symlen, T, Bt)))
+                u = _rand_uniform((symlen, T, Bt), interpret, sbase, 1)
                 fmask = jnp.zeros((T, Bt), jnp.uint32)
                 for k in range(symlen):
                     fk = (u[k] < param).astype(jnp.uint32)
                     fmask = fmask | (fk << k)
-                rx = esym ^ fmask
-                for e in range(M):
-                    x = rx ^ np.uint32(e)
-                    h = x & np.uint32(1)
-                    for k in range(1, symlen):
-                        h = h + ((x >> k) & np.uint32(1))
-                    dists_ref[e] = h.astype(jnp.int32).astype(jnp.float32)
+                for e, d in enumerate(hard_dists(esym ^ fmask)):
+                    dists_ref[e] = d
             else:
-                if interpret:
-                    u = _interp_uniform((2, T, Bt), sbase, 2)
-                else:
-                    u = _uniform_from_bits(pltpu.prng_random_bits((2, T, Bt)))
+                u = _rand_uniform((2, T, Bt), interpret, sbase, 2)
                 r = jnp.sqrt(-2.0 * jnp.log(u[0]))
                 theta = jnp.float32(_TWO_PI) * u[1]
-                txi = jnp.full((T, Bt), float(points[0, 0]), jnp.float32)
-                txq = jnp.full((T, Bt), float(points[0, 1]), jnp.float32)
-                for e in range(1, M):
-                    hit = esym == e
-                    txi = jnp.where(hit, float(points[e, 0]), txi)
-                    txq = jnp.where(hit, float(points[e, 1]), txq)
+                txi, txq = tx_select(esym)
                 rxi = txi + param * (r * jnp.cos(theta))
                 rxq = txq + param * (r * jnp.sin(theta))
                 if demapper == "hard":
-                    # snap-then-distance (hard-demapper.c:66-87), bulk
-                    d0 = []
-                    for e in range(M):
-                        di = rxi - float(points[e, 0])
-                        dq = rxq - float(points[e, 1])
-                        d0.append(((di * di) + (dq * dq)) * inv_nd)
-                    best = d0[0]
-                    sxi = jnp.full((T, Bt), float(points[0, 0]), jnp.float32)
-                    sxq = jnp.full((T, Bt), float(points[0, 1]), jnp.float32)
-                    for e in range(1, M):
-                        better = d0[e] < best
-                        best = jnp.where(better, d0[e], best)
-                        sxi = jnp.where(better, float(points[e, 0]), sxi)
-                        sxq = jnp.where(better, float(points[e, 1]), sxq)
-                    rxi, rxq = sxi, sxq
-                for e in range(M):
-                    di = rxi - float(points[e, 0])
-                    dq = rxq - float(points[e, 1])
-                    dists_ref[e] = ((di * di) + (dq * dq)) * inv_nd
+                    rxi, rxq = snap(dist_vec(rxi, rxq))
+                for e, d in enumerate(dist_vec(rxi, rxq)):
+                    dists_ref[e] = d
 
             # ---- trellis loop: loads + ACS only ----
             def fwd(t, metrics):
                 dists = [dists_ref[e, t] for e in range(M)]
-                b0 = jnp.concatenate(
-                    [dists[int(e)][None, :] for e in esym0], 0)
-                b1 = jnp.concatenate(
-                    [dists[int(e)][None, :] for e in esym1], 0)
-                cand0 = _rows(metrics, prev0) + b0
-                cand1 = _rows(metrics, prev1) + b1
-                if hard:
-                    cand0 = jnp.minimum(cand0, float(0xFF00))
-                    cand1 = jnp.minimum(cand1, float(0xFF00))
-                dec = cand1 < cand0
-                metrics = jnp.where(dec, cand1, cand0)
-                decu = dec.astype(jnp.uint32)
-                for w in range(nwords):
-                    lo, hi = w * 32, min(w * 32 + 32, S)
-                    acc = decu[lo]
-                    for s in range(lo + 1, hi):
-                        acc = acc + decu[s] * np.uint32(1 << (s - lo))
-                    dec_ref[t, w] = acc.astype(jnp.int32)
-                return metrics
+                return acs_step(metrics, dists, dec_ref, t)
 
-            init_val = float(0xFF00) if hard else BIG_METRIC
-            init = jnp.full((S, Bt), init_val, jnp.float32)
-            init = jnp.concatenate(
-                [jnp.zeros((1, Bt), jnp.float32), init[1:]], axis=0)
-            metrics = jax.lax.fori_loop(0, T, fwd, init)
-
-            # in-kernel argmin (strict less → first state wins ties)
-            best = metrics[0]
-            cur = jnp.zeros((Bt,), jnp.uint32)
-            for s in range(1, S):
-                better = metrics[s] < best
-                best = jnp.where(better, metrics[s], best)
-                cur = jnp.where(better, np.uint32(s), cur)
-
-            def tb(i, tc):
-                cur, err, fe = tc
-                t = T - 1 - i
-                if nwords == 1:
-                    word = dec_ref[t, 0].astype(jnp.uint32)
-                else:
-                    widx = (cur >> 5).astype(jnp.uint32)
-                    word = dec_ref[t, 0].astype(jnp.uint32)
-                    for w in range(1, nwords):
-                        word = jnp.where(widx == w,
-                                         dec_ref[t, w].astype(jnp.uint32), word)
-                b = (word >> (cur & 31)) & 1
-                bit = (cur >> (K - 2)).astype(jnp.int32)
-                mism = ((bit != bits_ref[t]) & (t < L)).astype(jnp.int32)
-                err = err + mism
-                fe = fe | mism
-                cur = ((cur & half_mask) << 1) | b
-                return cur, err, fe
-
+            metrics = jax.lax.fori_loop(0, T, fwd, init_metrics())
+            cur = argmin_lanes(metrics)
             _, err, fe = jax.lax.fori_loop(
-                0, T, tb, (cur, jnp.zeros((Bt,), jnp.int32),
-                           jnp.zeros((Bt,), jnp.int32)))
+                0, T, make_tb(bits_ref, dec_ref),
+                (cur, jnp.zeros((Bt,), jnp.int32),
+                 jnp.zeros((Bt,), jnp.int32)))
             return errs + err, ferrs + fe
 
         errs, ferrs = jax.lax.fori_loop(
@@ -507,8 +463,10 @@ def mc_chain_viterbi(code: Code, batch: int, nsteps: int, seed, param,
     """Run ``nsteps`` whole Monte-Carlo steps of the Viterbi chain entirely
     on-chip.  ``channel``: "awgn" (param = sigma, soft decode) or "bsc"
     (param = crossover probability, hard decode with saturating metrics).
-    Returns per-lane (bit_errors [B], frame_errors [B]) int32 counters;
-    total simulated info bits = batch * nsteps * block_len.
+    ``bulk_stages`` selects the bulk-staged kernel schedule (identical
+    counters, different op schedule).  Returns per-lane (bit_errors [B],
+    frame_errors [B]) int32 counters; total simulated info bits =
+    batch * nsteps * block_len.
     """
     trellis = build_trellis(code)
     T, L = code.num_block_symbols, code.block_length
@@ -517,19 +475,23 @@ def mc_chain_viterbi(code: Code, batch: int, nsteps: int, seed, param,
     if batch % Bt:
         raise ValueError(f"batch {batch} not divisible by tile {Bt}")
     nwords = (trellis.num_states + 31) // 32
-    scratch = [
-        pltpu.VMEM((T, Bt), jnp.int32),              # info bits
-        pltpu.VMEM((2, T, Bt), jnp.float32),         # I/Q noise
-        pltpu.VMEM((T, nwords, Bt), jnp.int32),      # packed decisions
-        pltpu.VMEM((T, Bt), jnp.int32),              # BSC flip masks
-    ]
     if bulk_stages:
         kernel, _ = _mc_kernel_bulk(trellis, T, L, Bt, channel, demapper,
                                     interpret=interpret)
-        scratch.append(pltpu.VMEM((M, T, Bt), jnp.float32))  # metric planes
+        scratch = [
+            pltpu.VMEM((T, Bt), jnp.int32),              # info bits
+            pltpu.VMEM((T, nwords, Bt), jnp.int32),      # packed decisions
+            pltpu.VMEM((M, T, Bt), jnp.float32),         # branch-metric planes
+        ]
     else:
         kernel, _ = _mc_kernel(trellis, T, L, Bt, channel, demapper,
                                interpret=interpret)
+        scratch = [
+            pltpu.VMEM((T, Bt), jnp.int32),              # info bits
+            pltpu.VMEM((2, T, Bt), jnp.float32),         # I/Q noise
+            pltpu.VMEM((T, nwords, Bt), jnp.int32),      # packed decisions
+            pltpu.VMEM((T, Bt), jnp.int32),              # BSC flip masks
+        ]
     errs = pl.pallas_call(
         kernel,
         grid=(batch // Bt,),

@@ -35,3 +35,31 @@ def test_bulk_kernel_matches_loop_kernel(code_key, channel, demapper, param):
     assert np.array_equal(np.asarray(e1), np.asarray(e2))
     assert np.array_equal(np.asarray(f1), np.asarray(f2))
     assert int(np.asarray(e1).sum()) > 0     # non-trivial comparison
+
+
+def test_fused_counters_pinned():
+    """Both kernel variants reproduce the pinned interpret-mode counters
+    (captured 2026-08-18) — guards refactors of the shared kernel bodies
+    when no hardware is attached."""
+    import pathlib
+    gold = np.load(pathlib.Path(__file__).parent / "goldens" /
+                   "fused_interp_counters.npz")
+    from convolutional_codes_tpu.ops.channels import awgn_sigma as sig
+    cases = [
+        (0, "awgn", "soft", float(sig(6.0))),
+        (0, "awgn", "hard", float(sig(6.0))),
+        (0, "bsc", "soft", 0.0125),
+        (5, "awgn", "soft", float(sig(4.0))),
+        ("nasa-k7", "awgn", "soft", float(sig(4.0))),
+        (1, "bsc", "soft", 0.05),
+    ]
+    for ck, ch, dm, p in cases:
+        code = get_code(ck)
+        for bulk in (False, True):
+            e, f = mc_chain_viterbi(code, batch=128, nsteps=2, seed=11,
+                                    param=p, channel=ch, block_lanes=128,
+                                    interpret=True, demapper=dm,
+                                    bulk_stages=bulk)
+            key = f"{code.name}_{ch}_{dm}"
+            assert np.array_equal(np.asarray(e), gold[key + "_e"]), (key, bulk)
+            assert np.array_equal(np.asarray(f), gold[key + "_f"]), (key, bulk)

@@ -35,6 +35,8 @@ import matplotlib.pyplot as plt
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 from tools.reproduce_curves import CONFIGS, GOLD, RESULTS  # noqa: E402
+from convolutional_codes_tpu.sim.sweep import (  # noqa: E402
+    AWGN_SNR_GRID, BSC_CROSSOVER_GRID)
 from convolutional_codes_tpu.utils.records import read_jsonl  # noqa: E402
 
 PLOTS = RESULTS / "plots"
@@ -101,7 +103,7 @@ def main() -> None:
         code = 2 if name == "uncoded_2" else 3 if name == "uncoded_3" \
             else spec_kw["code"]
         color = CODE_COLOR[code if fam != "uncoded" else (0 if code == 2 else 1)]
-        label = (f"{code}-point QPSK" if name == "uncoded_2"
+        label = ("QPSK" if name == "uncoded_2"
                  else "8-QAM" if name == "uncoded_3" else CODE_LABEL[code])
 
         recs = read_jsonl(path)
@@ -111,11 +113,11 @@ def main() -> None:
         ax.plot(xs, ys, "-o", color=color, linewidth=1.6, markersize=4.5,
                 label=label, zorder=3)
 
+        # published x positions come from the CANONICAL grids, never from
+        # the observed records — a partial rerun must not shift diamonds
         pub = GOLD[channel][row]
-        px = GOLD["awgn"]["SNR"] if channel == "awgn" else \
-            [r["point"] for r in recs] if len(recs) == len(pub) else None
-        if channel == "bsc":
-            px = sorted(r["point"] for r in recs)
+        px = AWGN_SNR_GRID if channel == "awgn" else BSC_CROSSOVER_GRID
+        assert len(px) == len(pub), (row, len(px), len(pub))
         pxy = [(x, y) for x, y in zip(px, pub) if y > 0]
         ax.plot([x for x, _ in pxy], [y for _, y in pxy], linestyle="none",
                 marker="D", markersize=7, markerfacecolor="none",
