@@ -239,6 +239,12 @@ def main():
     ap.add_argument("--recompare", action="store_true",
                     help="recompute z-scores from existing results/*.jsonl "
                          "without running any sweeps")
+    ap.add_argument("--shard", type=str, default=None, metavar="I/N",
+                    help="run only configs hash-assigned to shard I of N — "
+                         "the scale-out unit for the sequential decoders is "
+                         "chip-per-process over grid configs (the pool "
+                         "driver is host-mediated), so N hosts each run "
+                         "their shard and the checkpointed results/ merge")
     args = ap.parse_args()
     scale = args.scale if args.scale is not None else (0.01 if args.quick else 1.0)
 
@@ -247,6 +253,15 @@ def main():
     unknown = [n for n in names if n not in CONFIGS]
     if unknown:
         ap.error(f"unknown config(s) {unknown}; choose from {sorted(CONFIGS)}")
+    if args.shard:
+        try:
+            i, n = (int(x) for x in args.shard.split("/"))
+            assert 0 <= i < n
+        except (ValueError, AssertionError):
+            ap.error(f"--shard must be I/N with 0 <= I < N, got {args.shard}")
+        all_names = list(names)
+        names = [nm for j, nm in enumerate(all_names) if j % n == i]
+        print(f"shard {i}/{n}: {len(names)}/{len(all_names)} configs")
     summary = []
     for name in names:
         kw, row, channel = CONFIGS[name]
