@@ -46,6 +46,12 @@ from convolutional_codes_tpu.ops.viterbi_pallas import (
 
 _TWO_PI = 2.0 * math.pi
 
+#: Fused-kernel state ceiling: above _UNROLL_STATES (64) trellis selection
+#: switches to one-hot MXU matmuls with the P/E tables as kernel inputs
+#: (same scheme as ops/viterbi_pallas.py), scaling the fused chain to
+#: S = 256 (K <= 9).
+_FUSED_MAX_STATES = 256
+
 
 def _lowbias32(x: jnp.ndarray) -> jnp.ndarray:
     """32-bit avalanche hash (lowbias32) — interpret-mode PRNG fallback."""
@@ -185,9 +191,17 @@ def _stage_fns(trellis: Trellis):
     return esym_of, hard_dists, tx_select, dist_vec, snap
 
 
-def _acs_fns(trellis: Trellis, T: int, L: int, Bt: int, hard: bool):
+def _acs_fns(trellis: Trellis, T: int, L: int, Bt: int, hard: bool,
+             matmul: bool = False):
     """ACS step, metric init, end-state argmin, and the traceback/error
-    loop — the trellis half shared verbatim by both kernel schedules."""
+    loop — the trellis half shared verbatim by both kernel schedules.
+
+    ``matmul`` selects one-hot MXU selection (S > _UNROLL_STATES; the
+    P/E tables arrive as kernel inputs, threaded through ``acs_step``'s
+    ``tables`` argument — pallas rejects array-valued closure constants).
+    Exactness: each one-hot f32 row selects a single element, and
+    precision=HIGHEST (bf16x3) reproduces the 24-bit mantissa exactly —
+    same argument as ops/viterbi_pallas.py."""
     S = trellis.num_states
     K = trellis.code.constraint_length
     _, _, _, _, nwords, _ = _tables(trellis)
@@ -197,14 +211,9 @@ def _acs_fns(trellis: Trellis, T: int, L: int, Bt: int, hard: bool):
     prev1 = trellis.prev_state[:, 1]
     half_mask = (S >> 1) - 1
 
-    def acs_step(metrics, dists, dec_ref, t):
-        """one trellis step: branch select + add-compare-select + packed
-        decision store (ties → branch 0, strict-less — do not 'simplify'
-        to argmin, CLAUDE.md)."""
-        b0 = jnp.concatenate([dists[int(e)][None, :] for e in esym0], 0)
-        b1 = jnp.concatenate([dists[int(e)][None, :] for e in esym1], 0)
-        cand0 = _rows(metrics, prev0) + b0
-        cand1 = _rows(metrics, prev1) + b1
+    def _finish(cand0, cand1, dec_ref, t):
+        """compare-select + packed decision store (ties → branch 0,
+        strict-less — do not 'simplify' to argmin, CLAUDE.md)."""
         if hard:
             # saturating 0xFF00 arithmetic (BSC viterbi :127-130)
             cand0 = jnp.minimum(cand0, float(0xFF00))
@@ -219,6 +228,30 @@ def _acs_fns(trellis: Trellis, T: int, L: int, Bt: int, hard: bool):
                 acc = acc + decu[s] * np.uint32(1 << (s - lo))
             dec_ref[t, w] = acc.astype(jnp.int32)
         return metrics
+
+    if matmul:
+        HI = jax.lax.Precision.HIGHEST
+
+        def acs_step(metrics, dists, dec_ref, t, tables):
+            p0, p1, e0, e1 = tables
+            bm = jnp.concatenate([d[None, :] for d in dists], 0)  # [M, Bt]
+            cand0 = jnp.dot(p0[:], metrics, precision=HI,
+                            preferred_element_type=jnp.float32) \
+                + jnp.dot(e0[:], bm, precision=HI,
+                          preferred_element_type=jnp.float32)
+            cand1 = jnp.dot(p1[:], metrics, precision=HI,
+                            preferred_element_type=jnp.float32) \
+                + jnp.dot(e1[:], bm, precision=HI,
+                          preferred_element_type=jnp.float32)
+            return _finish(cand0, cand1, dec_ref, t)
+    else:
+        def acs_step(metrics, dists, dec_ref, t, tables=None):
+            """branch select via unrolled static row concat (VPU)."""
+            b0 = jnp.concatenate([dists[int(e)][None, :] for e in esym0], 0)
+            b1 = jnp.concatenate([dists[int(e)][None, :] for e in esym1], 0)
+            cand0 = _rows(metrics, prev0) + b0
+            cand1 = _rows(metrics, prev1) + b1
+            return _finish(cand0, cand1, dec_ref, t)
 
     def init_metrics():
         init_val = float(0xFF00) if hard else BIG_METRIC
@@ -278,7 +311,7 @@ def _step_base(hbase, step, interpret):
 
 def _mc_kernel(trellis: Trellis, T: int, L: int, Bt: int,
                channel: str = "awgn", demapper: str = "soft",
-               interpret: bool = False):
+               interpret: bool = False, use_matmul: bool = False):
     """Whole-Monte-Carlo-step kernel: bits→encode→channel→metrics→ACS→
     traceback→error counts, nsteps iterations, all resident in VMEM.  The
     only HBM traffic is the per-lane error counters.
@@ -286,21 +319,26 @@ def _mc_kernel(trellis: Trellis, T: int, L: int, Bt: int,
     channel "awgn": Box-Muller noise + soft squared-distance metrics (the
     param is sigma); "bsc": independent coded-bit flips + Hamming metrics
     saturated at 0xFF00 (param is the crossover probability) — the hard
-    Viterbi chain of binary-symmetric-channel/main.c."""
+    Viterbi chain of binary-symmetric-channel/main.c.
+
+    ``use_matmul``: one-hot MXU trellis selection for S > _UNROLL_STATES
+    (the caller passes the P/E tables as extra kernel inputs)."""
     code = trellis.code
     S = trellis.num_states
     M = code.points_per_symbol
     K = code.constraint_length
-    if S > _UNROLL_STATES:
-        raise NotImplementedError("fused MC kernel supports K <= 7")
+    if S > _FUSED_MAX_STATES:
+        raise NotImplementedError(
+            f"fused MC kernel supports up to {_FUSED_MAX_STATES} states "
+            f"(K <= 9); got {S}")
     esym_of, hard_dists, tx_select, dist_vec, snap = _stage_fns(trellis)
     acs_step, init_metrics, argmin_lanes, make_tb, nwords = _acs_fns(
-        trellis, T, L, Bt, hard=channel == "bsc")
+        trellis, T, L, Bt, hard=channel == "bsc", matmul=use_matmul)
     symlen = code.symlen_out
     hard = channel == "bsc"
 
-    def kernel(seed_ref, sigma_ref, nsteps_ref, err_ref, bits_ref, noise_ref,
-               dec_ref, flips_ref):
+    def body(seed_ref, sigma_ref, nsteps_ref, err_ref, bits_ref, noise_ref,
+             dec_ref, flips_ref, tables):
         hbase = _hbase_for(seed_ref, interpret)
         param = sigma_ref[0]
         row_live = jax.lax.broadcasted_iota(jnp.int32, (T, Bt), 0) < L
@@ -343,7 +381,7 @@ def _mc_kernel(trellis: Trellis, T: int, L: int, Bt: int,
                     if demapper == "hard":
                         sxi, sxq = snap(dists)
                         dists = dist_vec(sxi, sxq)
-                metrics = acs_step(metrics, dists, dec_ref, t)
+                metrics = acs_step(metrics, dists, dec_ref, t, tables)
                 return metrics, reg
 
             metrics, _ = jax.lax.fori_loop(
@@ -364,12 +402,26 @@ def _mc_kernel(trellis: Trellis, T: int, L: int, Bt: int,
         err_ref[0] = errs
         err_ref[1] = ferrs
 
-    return kernel, nwords
+    return _with_table_sig(body, use_matmul), nwords
+
+
+def _with_table_sig(body, use_matmul: bool):
+    """Adapt the kernel body to the pallas_call positional convention:
+    inputs (incl. the P/E tables when present) precede outputs/scratch."""
+    if use_matmul:
+        def kernel(seed_ref, sigma_ref, nsteps_ref, p0, p1, e0, e1,
+                   *rest):
+            body(seed_ref, sigma_ref, nsteps_ref, *rest,
+                 tables=(p0, p1, e0, e1))
+    else:
+        def kernel(seed_ref, sigma_ref, nsteps_ref, *rest):
+            body(seed_ref, sigma_ref, nsteps_ref, *rest, tables=None)
+    return kernel
 
 
 def _mc_kernel_bulk(trellis: Trellis, T: int, L: int, Bt: int,
                     channel: str = "awgn", demapper: str = "soft",
-                    interpret: bool = False):
+                    interpret: bool = False, use_matmul: bool = False):
     """Bulk-staged schedule of :func:`_mc_kernel` (same stage/ACS helpers,
     same RNG draw order → bit-identical counters): encoder, channel and
     demapper run as full ``[T, Bt]`` plane ops into an ``[M, T, Bt]``
@@ -381,16 +433,18 @@ def _mc_kernel_bulk(trellis: Trellis, T: int, L: int, Bt: int,
     S = trellis.num_states
     M = code.points_per_symbol
     K = code.constraint_length
-    if S > _UNROLL_STATES:
-        raise NotImplementedError("fused MC kernel supports K <= 7")
+    if S > _FUSED_MAX_STATES:
+        raise NotImplementedError(
+            f"fused MC kernel supports up to {_FUSED_MAX_STATES} states "
+            f"(K <= 9); got {S}")
     esym_of, hard_dists, tx_select, dist_vec, snap = _stage_fns(trellis)
     acs_step, init_metrics, argmin_lanes, make_tb, nwords = _acs_fns(
-        trellis, T, L, Bt, hard=channel == "bsc")
+        trellis, T, L, Bt, hard=channel == "bsc", matmul=use_matmul)
     symlen = code.symlen_out
     hard = channel == "bsc"
 
-    def kernel(seed_ref, sigma_ref, nsteps_ref, err_ref, bits_ref,
-               dec_ref, dists_ref):
+    def body(seed_ref, sigma_ref, nsteps_ref, err_ref, bits_ref,
+             dec_ref, dists_ref, tables):
         hbase = _hbase_for(seed_ref, interpret)
         param = sigma_ref[0]
         row_live = jax.lax.broadcasted_iota(jnp.int32, (T, Bt), 0) < L
@@ -436,7 +490,7 @@ def _mc_kernel_bulk(trellis: Trellis, T: int, L: int, Bt: int,
             # ---- trellis loop: loads + ACS only ----
             def fwd(t, metrics):
                 dists = [dists_ref[e, t] for e in range(M)]
-                return acs_step(metrics, dists, dec_ref, t)
+                return acs_step(metrics, dists, dec_ref, t, tables)
 
             metrics = jax.lax.fori_loop(0, T, fwd, init_metrics())
             cur = argmin_lanes(metrics)
@@ -452,7 +506,7 @@ def _mc_kernel_bulk(trellis: Trellis, T: int, L: int, Bt: int,
         err_ref[0] = errs
         err_ref[1] = ferrs
 
-    return kernel, nwords
+    return _with_table_sig(body, use_matmul), nwords
 
 
 def mc_chain_viterbi(code: Code, batch: int, nsteps: int, seed, param,
@@ -475,39 +529,48 @@ def mc_chain_viterbi(code: Code, batch: int, nsteps: int, seed, param,
     if batch % Bt:
         raise ValueError(f"batch {batch} not divisible by tile {Bt}")
     nwords = (trellis.num_states + 31) // 32
+    use_matmul = trellis.num_states > _UNROLL_STATES
+    make = _mc_kernel_bulk if bulk_stages else _mc_kernel
+    kernel, _ = make(trellis, T, L, Bt, channel, demapper,
+                     interpret=interpret, use_matmul=use_matmul)
     if bulk_stages:
-        kernel, _ = _mc_kernel_bulk(trellis, T, L, Bt, channel, demapper,
-                                    interpret=interpret)
         scratch = [
             pltpu.VMEM((T, Bt), jnp.int32),              # info bits
             pltpu.VMEM((T, nwords, Bt), jnp.int32),      # packed decisions
             pltpu.VMEM((M, T, Bt), jnp.float32),         # branch-metric planes
         ]
     else:
-        kernel, _ = _mc_kernel(trellis, T, L, Bt, channel, demapper,
-                               interpret=interpret)
         scratch = [
             pltpu.VMEM((T, Bt), jnp.int32),              # info bits
             pltpu.VMEM((2, T, Bt), jnp.float32),         # I/Q noise
             pltpu.VMEM((T, nwords, Bt), jnp.int32),      # packed decisions
             pltpu.VMEM((T, Bt), jnp.int32),              # BSC flip masks
         ]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    operands = [
+        jnp.asarray([seed], jnp.int32) if np.ndim(seed) == 0 else seed,
+        jnp.asarray([param], jnp.float32) if np.ndim(param) == 0 else param,
+        jnp.asarray([nsteps], jnp.int32)]
+    if use_matmul:
+        P0, P1, E0, E1, _, _ = _tables(trellis)
+        for tab in (P0, P1, E0, E1):
+            in_specs.append(pl.BlockSpec(
+                tab.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
+            operands.append(jnp.asarray(tab))
     errs = pl.pallas_call(
         kernel,
         grid=(batch // Bt,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((2, Bt), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((2, batch), jnp.int32),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(jnp.asarray([seed], jnp.int32) if np.ndim(seed) == 0 else seed,
-      jnp.asarray([param], jnp.float32) if np.ndim(param) == 0 else param,
-      jnp.asarray([nsteps], jnp.int32))
+    )(*operands)
     return errs[0], errs[1]
 
 

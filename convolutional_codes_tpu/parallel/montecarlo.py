@@ -151,6 +151,9 @@ def fused_mc_eligible(code, channel: str, decoder: str, demapper: str) -> bool:
     configs: AWGN + soft Viterbi, and BSC + hard Viterbi."""
     if jax.default_backend() != "tpu" or decoder != "viterbi":
         return False
+    # mc_chain_viterbi itself scales to 256 states (one-hot MXU selection),
+    # but production sweep routing stays at the hardware-validated S <= 64
+    # ceiling until the matmul path has been exercised on a real chip
     if code.num_states > 64 or code.points_per_symbol > 8:
         return False
     return channel in ("bsc", "awgn")

@@ -24,6 +24,9 @@ from convolutional_codes_tpu.ops.fused_chain import mc_chain_viterbi
     (5, "awgn", "soft", awgn_sigma(4.0)),          # rate 1/3, 8-QAM
     ("nasa-k7", "awgn", "soft", awgn_sigma(4.0)),  # S=64 ceiling
     (1, "bsc", "soft", 0.05),                      # parity-quirk code
+    ("k9-r12", "awgn", "soft", awgn_sigma(0.0)),   # S=256, MXU matmul path
+    ("k9-r12", "awgn", "hard", awgn_sigma(0.0)),
+    ("k9-r12", "bsc", "soft", 0.05),
 ])
 def test_bulk_kernel_matches_loop_kernel(code_key, channel, demapper, param):
     code = get_code(code_key)
