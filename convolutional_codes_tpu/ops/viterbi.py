@@ -209,7 +209,8 @@ def viterbi_decode_soft(code: Code, distances: jnp.ndarray,
     Args:
       distances: ``[B, T, 2^m]`` demapper distance vectors
         (T = block_len + K - 1).
-      backend: "auto" (Pallas kernels on TPU when K <= 7, XLA otherwise),
+      backend: "auto" (Pallas kernels on TPU when S <= 256 i.e. K <= 9,
+        XLA otherwise),
         "pallas", or "xla".
     Returns:
       ``[B, block_len]`` decoded info bits (tail stripped).
