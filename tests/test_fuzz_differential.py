@@ -123,3 +123,26 @@ def test_random_bigK_sequential_matches_golden_model(seed):
             ("fano_soft", i, code)
         assert np.array_equal(f_h[i], gm.fano_hard(code, hard_rx[i])), \
             ("fano_hard", i, code)
+
+
+def test_random_code_pallas_kernels_match_golden_model():
+    """One random runtime-registered code through the interpret-mode Pallas
+    sequential kernels (the production TPU path) — the kernel machinery
+    (tables, packing, lockstep masks) must be as code-agnostic as the XLA
+    formulations the other fuzz cases pin."""
+    from convolutional_codes_tpu.ops.fano_pallas import fano_decode_pallas
+    from convolutional_codes_tpu.ops.stack_pallas import stack_decode_pallas
+
+    rng = np.random.default_rng(77)
+    code = _random_code(rng, 77)
+    frames = 4
+    bits, hard_rx, dists = _noisy_streams(code, rng, frames)
+    kw = dict(interpret=True, iters_per_call=65536, iters_first=8192)
+
+    s_s = np.asarray(stack_decode_pallas(code, jnp.asarray(dists),
+                                         soft=True, **kw))
+    f_h = np.asarray(fano_decode_pallas(code, jnp.asarray(hard_rx),
+                                        soft=False, **kw))
+    for i in range(frames):
+        assert np.array_equal(s_s[i], gm.stack_soft(code, dists[i])), i
+        assert np.array_equal(f_h[i], gm.fano_hard(code, hard_rx[i])), i
