@@ -112,17 +112,21 @@ def _emit(metric, bits, dt, baseline=None, **detail):
 
 
 def _bench_longframe(code_key, metric, hard, frame_bits, B, baseline):
-    """BASELINE configs 0/2: long-frame (streaming-style) Viterbi decode,
-    time-chunked VMEM ACS with carried metrics (parallel/streaming.py)."""
+    """BASELINE configs 0/2: long-frame (streaming-style) Viterbi decode.
+
+    Lane-parallel overlap-save windows (parallel/streaming.py
+    long_frame_decode_lanes): every frame splits into halo'd blocks that
+    ride their own VPU lane, so small-batch million-bit frames still fill
+    the chip, and each device dispatch is short (watchdog-safe)."""
     from convolutional_codes_tpu.ops.encoder import encode_stream
     from convolutional_codes_tpu.ops.viterbi import hard_branch_metrics
     from convolutional_codes_tpu.parallel.streaming import (
-        long_frame_decode_hostseg)
+        long_frame_decode_lanes)
 
     code = get_code(code_key)
-    chunk = 256
+    window = 8192
     L = frame_bits - (code.constraint_length - 1)
-    L -= (L + code.constraint_length - 1) % chunk
+    L -= (L + code.constraint_length - 1) % window
     key = jax.random.PRNGKey(3)
 
     @jax.jit
@@ -145,9 +149,7 @@ def _bench_longframe(code_key, metric, hard, frame_bits, B, baseline):
                                  map_symbols(code, syms), sig))
         return bits, bm
 
-    # segmented dispatches: bounded per-dispatch runtime (watchdog-safe)
-    dec = lambda bm: long_frame_decode_hostseg(code, bm, chunk=chunk,
-                                               segments=16)
+    dec = lambda bm: long_frame_decode_lanes(code, bm, window=window)
     bits, bm = gen(key)
     out = dec(bm); jax.block_until_ready(out)      # compile
     t0 = time.time()
@@ -220,7 +222,7 @@ def bench_all():
                      frame_bits=1 << 20, B=8, baseline=9.4e6)
     # config 2: K=7 NASA soft Viterbi, long streaming frames
     _bench_longframe("nasa-k7", "awgn_soft_viterbi_k7_streaming", False,
-                     frame_bits=1 << 16, B=64, baseline=None)
+                     frame_bits=1 << 16, B=128, baseline=None)
     # config 3: stack on K=9, AWGN soft
     _bench_seq("k9-r12", "stack", "awgn_stack_k9_soft", 8.0, 1.4e5)
     # flagship-code sequential rows

@@ -24,6 +24,7 @@ boundary effects decay exponentially in the warmup length.
 
 from __future__ import annotations
 
+import time
 from functools import lru_cache, partial
 
 import jax
@@ -165,27 +166,70 @@ def _hostseg_fns(code: Code, seg_chunks: int, chunk: int, M: int, B: int,
                             dseg.reshape(seg_chunks, chunk, M, B))
 
     @jax.jit
-    def finish(fm, decs):                          # decs [nseg, segT, w, B]
-        decisions = decs.reshape(-1, decs.shape[-2], decs.shape[-1])
-        end_state = jnp.argmin(fm, axis=0).astype(jnp.int32)
-        return traceback_from(trellis, decisions, end_state)
+    def tb_seg(cur, dec):                          # dec [segT, w, B]
+        """Reverse traceback over one segment, carrying the per-lane state
+        across segment boundaries (one bounded dispatch per segment, like
+        the forward pass — a million-row traceback must not be one scan)."""
+        return _tb_carry(trellis, dec, cur)
 
-    return seg_step, finish
+    return seg_step, tb_seg
+
+
+def _tb_carry(trellis, decisions, cur0):
+    """traceback_from with an explicit state carry: walks ``decisions``
+    [segT, w, B] in reverse from per-lane states ``cur0`` and returns
+    (state before the segment, bits [B, segT])."""
+    S = trellis.num_states
+    K = trellis.code.constraint_length
+    half_mask = (S >> 1) - 1
+    nwords = decisions.shape[1]
+
+    def tb_step(cur, dec_t):
+        if nwords == 1:
+            word = dec_t[0].astype(jnp.uint32)
+        else:
+            idx = (cur >> 5).astype(jnp.uint32)
+            word = dec_t[0].astype(jnp.uint32)
+            for w in range(1, nwords):
+                word = jnp.where(idx == w, dec_t[w].astype(jnp.uint32), word)
+        b = (word >> (cur & 31)) & 1
+        bit = (cur >> (K - 2)).astype(jnp.int32)
+        prev = ((cur & half_mask) << 1) | b
+        return prev, bit
+
+    cur, bits = jax.lax.scan(tb_step, cur0.astype(jnp.uint32), decisions,
+                             reverse=True)
+    return cur, jnp.swapaxes(bits, 0, 1)
+
+
+#: auto-segment probe results per (code, chunk, M, B, lanes): the chosen
+#: chunks-per-dispatch, so repeat calls (e.g. warm bench iterations) reuse
+#: the first call's executable instead of re-probing into a different size.
+_auto_seg_cache: dict = {}
+
+#: auto mode targets this many seconds per device dispatch — comfortably
+#: under the tunneled backend's ~1-2 min program watchdog (CLAUDE.md).
+_AUTO_TARGET_S = 15.0
 
 
 def long_frame_decode_hostseg(code: Code, dists: jnp.ndarray,
-                              chunk: int = 256, segments: int = 16,
+                              chunk: int = 256, segments="auto",
                               block_lanes: int = 512,
-                              interpret: bool = False) -> jnp.ndarray:
-    """:func:`long_frame_decode_pallas` split into ``segments`` separate
-    device dispatches with the ``[S, B]`` metric front carried on device
-    between them.  Bit-identical output; bounds the per-dispatch runtime so
+                              interpret: bool = False,
+                              target_seg_s: float = _AUTO_TARGET_S
+                              ) -> jnp.ndarray:
+    """:func:`long_frame_decode_pallas` split into separate device
+    dispatches with the ``[S, B]`` metric front carried on device between
+    them.  Bit-identical output; bounds the per-dispatch runtime so
     million-bit frames stay under single-dispatch watchdog limits (the
     tunneled single-chip backend kills device programs running longer than
-    ~1-2 minutes — same driver pattern as ops/seq_chunking).
+    ~1-2 minutes — same driver pattern as ops/seq_chunking).  The traceback
+    is segmented the same way (state carried across segment boundaries).
 
-    ``segments`` must divide the chunk count; each segment reuses one
-    compiled executable.
+    ``segments="auto"`` (default) probes the warm per-chunk rate with a
+    one-chunk dispatch and sizes dispatches to ``target_seg_s`` seconds —
+    no static segment count can be watchdog-safe across codes/shapes.  An
+    integer keeps the legacy fixed split (must divide the chunk count).
     """
     from convolutional_codes_tpu.ops.viterbi_pallas import BIG_METRIC
 
@@ -194,21 +238,147 @@ def long_frame_decode_hostseg(code: Code, dists: jnp.ndarray,
     if T % chunk:
         raise ValueError(f"frame length {T} not divisible by chunk {chunk}")
     nchunk = T // chunk
-    if nchunk % segments:
-        raise ValueError(f"{nchunk} chunks not divisible into "
-                         f"{segments} segments")
-    seg_chunks = nchunk // segments
-    segT = seg_chunks * chunk
-    seg_step, finish = _hostseg_fns(code, seg_chunks, chunk, M, B,
-                                    block_lanes, interpret)
     d_tmb = jnp.transpose(dists.astype(jnp.float32), (1, 2, 0))
     S = trellis.num_states
     carry = jnp.full((S, B), BIG_METRIC, jnp.float32).at[0, :].set(0.0)
-    decs = []
-    for s in range(segments):                      # one dispatch per segment
-        carry, dec = seg_step(carry, d_tmb[s * segT:(s + 1) * segT])
-        decs.append(dec)
-    return finish(carry, jnp.stack(decs))
+
+    fns = lambda sc: _hostseg_fns(code, sc, chunk, M, B, block_lanes,
+                                  interpret)
+    decs: list = []          # [(seg_chunks, dec [segT, w, B])]
+    done = 0                 # chunks consumed
+
+    if segments == "auto":
+        ck = (code, chunk, M, B, block_lanes, interpret)
+        seg_chunks = _auto_seg_cache.get(ck)
+        if seg_chunks is None:
+            unit_step, _ = fns(1)
+            # probe: chunk 0 pays compile, chunk 1 measures the warm rate
+            for _ in range(min(2, nchunk)):
+                t0 = time.time()
+                carry, dec = unit_step(carry, d_tmb[done * chunk:
+                                                    (done + 1) * chunk])
+                jax.block_until_ready(carry)
+                per_chunk_s = time.time() - t0
+                decs.append((1, dec))
+                done += 1
+            seg_chunks = max(1, min(nchunk - done,
+                                    int(target_seg_s / max(per_chunk_s,
+                                                           1e-6))))
+            _auto_seg_cache[ck] = seg_chunks
+    else:
+        if nchunk % segments:
+            raise ValueError(f"{nchunk} chunks not divisible into "
+                             f"{segments} segments")
+        seg_chunks = nchunk // segments
+
+    seg_step, tb_seg = fns(seg_chunks)
+    unit_step, tb_unit = fns(1)
+    while done < nchunk:
+        if done + seg_chunks <= nchunk:
+            sc, step = seg_chunks, seg_step
+        else:
+            sc, step = 1, unit_step        # remainder: one-chunk dispatches
+        carry, dec = step(carry, d_tmb[done * chunk:(done + sc) * chunk])
+        decs.append((sc, dec))
+        done += sc
+
+    # segmented traceback, reverse order, state carried between dispatches
+    cur = jnp.argmin(carry, axis=0).astype(jnp.int32)
+    bits = []
+    for sc, dec in reversed(decs):
+        tb = tb_seg if sc == seg_chunks else tb_unit
+        cur, seg_bits = tb(cur, dec.reshape(sc * chunk, dec.shape[-2],
+                                            dec.shape[-1]))
+        bits.append(seg_bits)
+    return jnp.concatenate(bits[::-1], axis=1)
+
+
+@lru_cache(maxsize=None)
+def _lanes_decode_fn(code: Code, T: int, M: int, B: int, window: int,
+                     warmup: int, chunk: int, block_lanes: int,
+                     interpret: bool):
+    from convolutional_codes_tpu.ops.viterbi_pallas import acs_forward_pallas
+
+    trellis = build_trellis(code)
+    S = trellis.num_states
+    W, Wn = warmup, window
+    D = T // Wn
+    Tw = Wn + 2 * W                       # rows per window incl. halos
+    BD = B * D
+    Bt = block_lanes if BD % block_lanes == 0 else BD
+
+    @jax.jit
+    def run(dists):                       # [B, T, M] f32
+        # halo padding: the frame's left edge gets the state-0 pin pattern
+        # (exact — the encoder starts in state 0), the right edge uniform
+        # zeros (traceback converges back onto the survivor path within W)
+        pin = _pin_first_block_halo(jnp.zeros((B, W, M), jnp.float32))
+        ext = jnp.concatenate(
+            [pin, dists.astype(jnp.float32), jnp.zeros((B, W, M))], axis=1)
+        idx = (np.arange(D)[:, None] * Wn
+               + np.arange(Tw)[None, :])               # into ext rows
+        win = jnp.take(ext, jnp.asarray(idx), axis=1)  # [B, D, Tw, M]
+        flat = jnp.transpose(win.reshape(BD, Tw, M), (1, 2, 0))  # [Tw, M, BD]
+
+        init = jnp.zeros((S, BD), jnp.float32)         # uniform: halo warms up
+
+        def body(c, dchunk):
+            return acs_forward_pallas(trellis, dchunk, c, False,
+                                      block_lanes=Bt, interpret=interpret)
+
+        fm, decs = jax.lax.scan(body, init,
+                                flat.reshape(Tw // chunk, chunk, M, BD))
+        decisions = decs.reshape(Tw, -1, BD)
+        end_state = jnp.argmin(fm, axis=0).astype(jnp.int32)
+        bits = traceback_from(trellis, decisions, end_state)   # [BD, Tw]
+        return bits.reshape(B, D, Tw)[:, :, W: W + Wn].reshape(B, T)
+
+    return run
+
+
+def long_frame_decode_lanes(code: Code, dists: jnp.ndarray,
+                            window: int = 8192, warmup: int = 128,
+                            chunk: int = 256, block_lanes: int = 1024,
+                            interpret: bool = False) -> jnp.ndarray:
+    """Single-chip lane-parallel long-frame decode: overlap-save windows.
+
+    A long frame at small batch (e.g. the 1e6-bit BASELINE config-0 frames
+    at B=8) leaves the 128-wide VPU lanes almost empty under the exact
+    sequential decode.  This splits each frame into ``window``-symbol
+    blocks with ``warmup``-symbol halos on both sides — the same
+    overlap-save partitioning :func:`streaming_viterbi_decode` uses across
+    chips, applied *within* one chip so every block rides its own vector
+    lane — and decodes all ``B * (T/window)`` blocks as one batch in the
+    VMEM ACS kernel (one fast dispatch: watchdog-safe by construction).
+
+    Output equals the monolithic decode except with probability decaying
+    exponentially in ``warmup`` (validated by tests and by
+    :func:`warmup_convergence_audit`); use
+    :func:`long_frame_decode_hostseg` when bit-exactness is required.
+    """
+    B, T, M = dists.shape
+    if T % window:
+        raise ValueError(f"frame length {T} not divisible by window {window}")
+    if (window + 2 * warmup) % chunk:
+        raise ValueError(f"window+2*warmup={window + 2 * warmup} not "
+                         f"divisible by chunk {chunk}")
+    run = _lanes_decode_fn(code, T, M, B, window, warmup, chunk,
+                           block_lanes, interpret)
+    return run(dists)
+
+
+def warmup_convergence_audit(code: Code, dists: jnp.ndarray,
+                             window: int = 8192, warmup: int = 128,
+                             **kw) -> tuple:
+    """Decode-twice spot audit for the overlap-save warmup length: decodes
+    with ``warmup`` and ``2*warmup`` halos and counts mismatching bits.  A
+    nonzero count means ``warmup`` is too short for this code/SNR (the
+    boundary error probability ~ exp(-c*warmup) is not yet negligible) —
+    the runtime check VERDICT round 2 asked for instead of the silent
+    fixed-warmup assumption.  Returns (bits_at_2w, mismatch_count)."""
+    b1 = long_frame_decode_lanes(code, dists, window, warmup, **kw)
+    b2 = long_frame_decode_lanes(code, dists, window, 2 * warmup, **kw)
+    return b2, int(jnp.sum(b1 != b2))
 
 
 def monolithic_reference_decode(code: Code, dists: jnp.ndarray) -> jnp.ndarray:

@@ -139,3 +139,63 @@ def test_hostseg_decode_matches_monolithic():
     out = np.asarray(long_frame_decode_hostseg(
         code, dists, chunk=128, segments=4, block_lanes=64, interpret=True))
     assert np.array_equal(out, mono)
+
+
+def test_hostseg_auto_segments_with_remainder():
+    """segments="auto" (non-dividing seg size → remainder one-chunk
+    dispatches) must still be bit-identical to the monolithic decode."""
+    from convolutional_codes_tpu.parallel import streaming
+    from convolutional_codes_tpu.parallel.streaming import (
+        long_frame_decode_hostseg)
+
+    code = get_code("nasa-k7")
+    B, Tt = 32, 1024                      # nchunk = 8 at chunk=128
+    L = Tt - (code.constraint_length - 1)
+    bits, dists = _noisy_frame(code, B=B, L=L, snr_db=3.0, seed=41)
+    mono = np.asarray(monolithic_reference_decode(code, dists))
+    # pre-seed the probe cache: 3 chunks/dispatch over 8 chunks → two
+    # 3-chunk segments + two remainder one-chunk dispatches
+    key = (code, 128, code.points_per_symbol, B, 64, True)
+    streaming._auto_seg_cache[key] = 3
+    try:
+        out = np.asarray(long_frame_decode_hostseg(
+            code, dists, chunk=128, segments="auto", block_lanes=64,
+            interpret=True))
+    finally:
+        del streaming._auto_seg_cache[key]
+    assert np.array_equal(out, mono)
+
+
+def test_lanes_decode_matches_monolithic():
+    """Overlap-save lane-parallel decode == monolithic (warmup=128 makes
+    the boundary-mismatch probability negligible at this SNR/size)."""
+    from convolutional_codes_tpu.parallel.streaming import (
+        long_frame_decode_lanes)
+
+    code = get_code("nasa-k7")
+    B, Tt = 2, 1024
+    L = Tt - (code.constraint_length - 1)
+    bits, dists = _noisy_frame(code, B=B, L=L, snr_db=3.0, seed=55)
+    mono = np.asarray(monolithic_reference_decode(code, dists))
+    out = np.asarray(long_frame_decode_lanes(
+        code, dists, window=256, warmup=128, chunk=128, block_lanes=64,
+        interpret=True))
+    assert np.array_equal(out, mono), (out != mono).sum()
+
+
+def test_warmup_convergence_audit_clean():
+    """The decode-twice audit reports zero mismatches at an adequate
+    warmup (and its bits agree with the monolithic decode)."""
+    from convolutional_codes_tpu.parallel.streaming import (
+        warmup_convergence_audit)
+
+    code = get_code("nasa-k7")
+    B, Tt = 2, 512
+    L = Tt - (code.constraint_length - 1)
+    bits, dists = _noisy_frame(code, B=B, L=L, snr_db=4.0, seed=77)
+    mono = np.asarray(monolithic_reference_decode(code, dists))
+    b2w, mismatches = warmup_convergence_audit(
+        code, dists, window=256, warmup=128, chunk=128, block_lanes=64,
+        interpret=True)
+    assert mismatches == 0
+    assert np.array_equal(np.asarray(b2w), mono)
