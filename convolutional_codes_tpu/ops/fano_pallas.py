@@ -101,8 +101,10 @@ def _fano_kernel(code: Code, T: int, Bt: int, soft: bool):
                 for e in range(M):
                     d0 = jnp.where(e0 == np.uint32(e), trow[e], d0)
                     d1 = jnp.where(e1 == np.uint32(e), trow[e], d1)
-                tm0 = 1.0 + w * d0
-                tm1 = 1.0 + w * d1
+                # round the product before the add (spec semantics,
+                # not FMA — see sequential_common.force_rounded)
+                tm0 = 1.0 + jnp.minimum(w * d0, np.float32(3.4028235e38))
+                tm1 = 1.0 + jnp.minimum(w * d1, np.float32(3.4028235e38))
             else:
                 rx = jnp.sum(jnp.where(m, syms_ref[:], 0),
                              axis=0).astype(jnp.uint32)

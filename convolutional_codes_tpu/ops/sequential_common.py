@@ -49,14 +49,32 @@ def make_branch_fn(code: Code) -> Callable[[jnp.ndarray, int], Tuple[jnp.ndarray
     return branch
 
 
+#: float32 max — see :func:`force_rounded` below.
+F32_MAX = jnp.float32(3.4028235e38)
+
+
+def force_rounded(p: jnp.ndarray) -> jnp.ndarray:
+    """Identity on float32 values that forces ``p`` to be rounded *before*
+    any subsequent add.  XLA's CPU emitter contracts ``a*b + c`` into an
+    FMA (single rounding), which deviates from the behavioral spec: the
+    reference binaries (and tests/golden_model.py / the native oracle)
+    round the product first.  ``min(p, F32_MAX)`` is a real instruction
+    neither XLA's simplifier nor LLVM can fold away (no value-range proof),
+    so the mul can no longer fuse with the add.  Verified to restore
+    bit-identical ``1 + w*d`` on all divergent inputs."""
+    return jnp.minimum(p, F32_MAX)
+
+
 def soft_transition_metrics(weight: float, dists_row: jnp.ndarray,
                             esym0: jnp.ndarray, esym1: jnp.ndarray):
     """``1 + weight * dist[esym]`` per branch (stack-decoder.c:274,
-    fano-decoder.c:309).  dists_row: [B, 2^m] float32."""
+    fano-decoder.c:309).  dists_row: [B, 2^m] float32.  The product is
+    rounded before the add (spec semantics, not FMA) — see
+    :func:`force_rounded`."""
     d0 = jnp.take_along_axis(dists_row, esym0[:, None], axis=1)[:, 0]
     d1 = jnp.take_along_axis(dists_row, esym1[:, None], axis=1)[:, 0]
     w = jnp.float32(weight)
-    return 1.0 + w * d0, 1.0 + w * d1
+    return 1.0 + force_rounded(w * d0), 1.0 + force_rounded(w * d1)
 
 
 def hard_transition_metrics(bit_metrics, symlen: int, rx_row: jnp.ndarray,

@@ -151,8 +151,10 @@ def _stack_kernel(code: Code, T: int, Bt: int, soft: bool, nwords: int):
                     for e in range(M):
                         d0 = jnp.where(e0 == np.uint32(e), trow[e], d0)
                         d1 = jnp.where(e1 == np.uint32(e), trow[e], d1)
-                    tm0 = 1.0 + w * d0
-                    tm1 = 1.0 + w * d1
+                    # round the product before the add (spec semantics,
+                    # not FMA — see sequential_common.force_rounded)
+                    tm0 = 1.0 + jnp.minimum(w * d0, np.float32(3.4028235e38))
+                    tm1 = 1.0 + jnp.minimum(w * d1, np.float32(3.4028235e38))
                 else:
                     tmask = (jax.lax.broadcasted_iota(jnp.int32, (T, Bt), 0)
                              == t[None, :])

@@ -1,9 +1,11 @@
 """ctypes bindings for the native host runtime (native/convcodes_native.c).
 
 Builds the shared library on first use (gcc -O3 -shared), caches it under
-``native/build/``, and exposes batch encoder/Viterbi entry points as NumPy
-functions.  Used as a fast fuzz oracle in tests and as a host-side fallback
-decoder.  Gated: ``available()`` is False when no C compiler is present.
+``native/build/``, and exposes batch encoder/Viterbi/stack/Fano entry
+points as NumPy functions.  Used as a fast fuzz oracle in tests (a ~1000×
+faster stand-in for the scalar spec in tests/golden_model.py, validated
+against it) and as a host-side fallback decoder.  Gated: ``available()``
+is False when no C compiler is present.
 """
 
 from __future__ import annotations
@@ -69,6 +71,19 @@ def _load() -> Optional[ctypes.CDLL]:
                                            ctypes.c_int64]
     lib.cc_viterbi_hard_blocks.argtypes = [ctypes.POINTER(_Params), i32p, i8p,
                                            i32p, ctypes.c_int64]
+    lib.cc_stack_soft_blocks.argtypes = [ctypes.POINTER(_Params), f32p,
+                                         ctypes.c_float, i8p, ctypes.c_int64]
+    lib.cc_stack_hard_blocks.argtypes = [ctypes.POINTER(_Params), i32p,
+                                         ctypes.c_int32, ctypes.c_int32, i8p,
+                                         ctypes.c_int64]
+    lib.cc_fano_soft_blocks.argtypes = [ctypes.POINTER(_Params), f32p,
+                                        ctypes.c_float, ctypes.c_float,
+                                        ctypes.c_int32, i8p, i8p,
+                                        ctypes.c_int64]
+    lib.cc_fano_hard_blocks.argtypes = [ctypes.POINTER(_Params), i32p,
+                                        ctypes.c_int32, ctypes.c_int32,
+                                        ctypes.c_int32, ctypes.c_int32,
+                                        i8p, i8p, ctypes.c_int64]
     return lib
 
 
@@ -111,3 +126,66 @@ def viterbi_hard_blocks(code: Code, rx: np.ndarray) -> Tuple[np.ndarray, np.ndar
     metrics = np.empty((n,), dtype=np.int32)
     lib.cc_viterbi_hard_blocks(ctypes.byref(_params(code)), rx, out, metrics, n)
     return out, metrics
+
+
+def stack_soft_blocks(code: Code, dists: np.ndarray) -> np.ndarray:
+    """dists [N, T, 2^m] float32 → decoded bits [N, L] int8 (spec:
+    tests/golden_model.py _stack_decode soft path)."""
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    dists = np.ascontiguousarray(dists, dtype=np.float32)
+    n = dists.shape[0]
+    assert dists.shape[1:] == (code.num_block_symbols, code.points_per_symbol)
+    out = np.empty((n, code.block_length), dtype=np.int8)
+    lib.cc_stack_soft_blocks(ctypes.byref(_params(code)), dists,
+                             ctypes.c_float(code.metric_weight), out, n)
+    return out
+
+
+def stack_hard_blocks(code: Code, rx: np.ndarray) -> np.ndarray:
+    """rx [N, T] int32 symbols → decoded bits [N, L] int8."""
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    rx = np.ascontiguousarray(rx, dtype=np.int32)
+    n = rx.shape[0]
+    assert rx.shape[1] == code.num_block_symbols
+    out = np.empty((n, code.block_length), dtype=np.int8)
+    lib.cc_stack_hard_blocks(ctypes.byref(_params(code)), rx,
+                             code.bit_metrics[0], code.bit_metrics[1], out, n)
+    return out
+
+
+def fano_soft_blocks(code: Code, dists: np.ndarray,
+                     timeout_per_bit: int = 10000, delta: float = 17.0
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """dists [N, T, 2^m] float32 → (bits [N, L] int8, timed_out [N] int8)."""
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    dists = np.ascontiguousarray(dists, dtype=np.float32)
+    n = dists.shape[0]
+    assert dists.shape[1:] == (code.num_block_symbols, code.points_per_symbol)
+    out = np.empty((n, code.block_length), dtype=np.int8)
+    tout = np.empty((n,), dtype=np.int8)
+    lib.cc_fano_soft_blocks(ctypes.byref(_params(code)), dists,
+                            ctypes.c_float(code.fano_metric_weight),
+                            ctypes.c_float(delta), timeout_per_bit,
+                            out, tout, n)
+    return out, tout
+
+
+def fano_hard_blocks(code: Code, rx: np.ndarray,
+                     timeout_per_bit: int = 10000, delta: int = 17
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """rx [N, T] int32 symbols → (bits [N, L] int8, timed_out [N] int8)."""
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    rx = np.ascontiguousarray(rx, dtype=np.int32)
+    n = rx.shape[0]
+    assert rx.shape[1] == code.num_block_symbols
+    out = np.empty((n, code.block_length), dtype=np.int8)
+    tout = np.empty((n,), dtype=np.int8)
+    lib.cc_fano_hard_blocks(ctypes.byref(_params(code)), rx,
+                            code.fano_bit_metrics[0],
+                            code.fano_bit_metrics[1], delta,
+                            timeout_per_bit, out, tout, n)
+    return out, tout

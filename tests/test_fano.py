@@ -61,3 +61,16 @@ def test_diagnostics_report_timeouts_and_metric():
     np.put_along_axis(clean, syms[..., None], 0.0, axis=-1)
     bits2, diag2 = fano_decode_soft_with_diag(code, clean)
     assert not bool(np.asarray(diag2["timed_out"]).any())
+
+
+def test_fma_rounding_regression():
+    """A timeout-path frame where FMA-contracted branch metrics
+    (fl(1 + w*d) instead of the spec's fl(1 + fl(w*d))) send the walk down
+    a different trajectory.  Caught by the native-oracle deep fuzz; the
+    decoders must round the product first (sequential_common.force_rounded).
+    The pinned bits come from tests/golden_model.py, cross-checked with the
+    native oracle."""
+    g = load_golden("fano_fma_regression.npz")
+    code = get_code(0)
+    out = np.asarray(fano_decode_soft(code, g["dists"]))
+    assert np.array_equal(out, g["decoded"])
