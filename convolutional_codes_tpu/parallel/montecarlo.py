@@ -151,10 +151,12 @@ def fused_mc_eligible(code, channel: str, decoder: str, demapper: str) -> bool:
     configs: AWGN + soft Viterbi, and BSC + hard Viterbi."""
     if jax.default_backend() != "tpu" or decoder != "viterbi":
         return False
-    # mc_chain_viterbi itself scales to 256 states (one-hot MXU selection),
-    # but production sweep routing stays at the hardware-validated S <= 64
-    # ceiling until the matmul path has been exercised on a real chip
-    if code.num_states > 64 or code.points_per_symbol > 8:
+    # S <= 256 (K <= 9): the one-hot MXU selection path was validated on
+    # real hardware in round 3 — bit-identical error counts vs a
+    # monolithic XLA decode of the same stream at S=256 (fused_longframe
+    # k9 run), BER z-tests vs the threefry XLA chain (|z| <= 1.2), and
+    # loop/bulk schedule counter identity on chip (PERF.md §2).
+    if code.num_states > 256 or code.points_per_symbol > 8:
         return False
     return channel in ("bsc", "awgn")
 
