@@ -81,19 +81,9 @@ def sharded_accumulate(step: StepFn, nsteps: int, key: jax.Array, param,
     return int(be), int(fe), int(nb)
 
 
-def sweep_grid_accumulate(step: StepFn, nsteps: int, key: jax.Array,
-                          params: jnp.ndarray, mesh: Mesh) -> Tuple[jnp.ndarray, ...]:
-    """2-D sharding: points split over the ``sweep`` axis, frames over
-    ``frames``.  ``params``: [R] channel parameters, R divisible by the sweep
-    axis size.  Returns per-point (bit_errors, frame_errors, bits) arrays [R].
-    Used by the multi-chip dry-run / full-slice sweeps with uniform step
-    counts per point.
-    """
+@lru_cache(maxsize=None)
+def _grid_runner(step: StepFn, nsteps: int, mesh: Mesh):
     sa, fa = "sweep", "frames"
-    assert sa in mesh.axis_names and fa in mesh.axis_names
-    R = params.shape[0]
-    keys = jax.random.split(key, R * mesh.shape[fa])
-    keys = keys.reshape(R, mesh.shape[fa], *keys.shape[1:])
 
     @jax.jit
     @partial(shard_map, mesh=mesh,
@@ -104,9 +94,36 @@ def sweep_grid_accumulate(step: StepFn, nsteps: int, key: jax.Array,
             return _scan_steps(step, nsteps)(k, p)
 
         be, fe, nb = jax.vmap(per_point)(local_keys[:, 0], local_params)
-        return (jax.lax.psum(be, fa), jax.lax.psum(fe, fa), jax.lax.psum(nb, fa))
+        return (jax.lax.psum(be, fa), jax.lax.psum(fe, fa),
+                jax.lax.psum(nb, fa))
 
-    return run(keys, jnp.asarray(params, jnp.float32))
+    return run
+
+
+def sweep_grid_accumulate(step: StepFn, nsteps: int, key: jax.Array,
+                          params: jnp.ndarray, mesh: Mesh) -> Tuple[jnp.ndarray, ...]:
+    """2-D sharding: points split over the ``sweep`` axis, frames over
+    ``frames``.  ``params``: [R] channel parameters, R divisible by the sweep
+    axis size.  Returns per-point (bit_errors, frame_errors, bits) arrays [R].
+    """
+    sa, fa = "sweep", "frames"
+    assert sa in mesh.axis_names and fa in mesh.axis_names
+    R = params.shape[0]
+    keys = jax.random.split(key, R * mesh.shape[fa])
+    keys = keys.reshape(R, mesh.shape[fa], *keys.shape[1:])
+    return _grid_runner(step, nsteps, mesh)(keys,
+                                            jnp.asarray(params, jnp.float32))
+
+
+def grid_accumulate_with_keys(step: StepFn, nsteps: int, keys: jnp.ndarray,
+                              params, mesh: Mesh) -> Tuple[jnp.ndarray, ...]:
+    """:func:`sweep_grid_accumulate` with caller-provided per-point keys
+    ``[R, frames_axis, 2]`` — ``run_sweep`` passes the exact keys its
+    serial path would use for each point, so grouped (sweep×frames) and
+    serial sweeps produce **identical counters**, not just identical
+    statistics (validated by tests/test_sweep.py)."""
+    return _grid_runner(step, nsteps, mesh)(
+        keys, jnp.asarray(params, jnp.float32))
 
 
 # ---------------------------------------------------------------------------
@@ -144,6 +161,49 @@ def _fused_runner(code, batch: int, mesh: Optional[Mesh], channel: str,
 
 # fused kernels embed the constellation table of code.symlen_out
 register_dependent_cache(_fused_runner.cache_clear)
+
+
+@lru_cache(maxsize=None)
+def _fused_grid_runner(code, batch: int, mesh: Mesh, channel: str,
+                       demapper: str, interpret: bool):
+    from convolutional_codes_tpu.ops.fused_chain import mc_chain_viterbi
+
+    L = code.block_length
+    sa, fa = "sweep", "frames"
+
+    def counts(seed, param, nsteps):
+        be, fe = mc_chain_viterbi(code, batch, nsteps, seed, param, channel,
+                                  block_lanes=min(1024, batch),
+                                  demapper=demapper, interpret=interpret)
+        return (be.sum(dtype=jnp.int32), fe.sum(dtype=jnp.int32),
+                jnp.int32(batch * L) * nsteps)
+
+    @jax.jit
+    @partial(shard_map, mesh=mesh, in_specs=(P(sa, fa), P(sa), P()),
+             out_specs=P(sa), check_vma=False)
+    def run(seeds, params, nsteps):
+        # one sweep point per sweep-axis group (local R == 1), so the
+        # pallas_call needs no vmap; devices along `frames` psum-reduce
+        be, fe, nb = counts(seeds[0, 0], params[0], nsteps)
+        return tuple(jax.lax.psum(x, fa)[None] for x in (be, fe, nb))
+
+    return run
+
+
+register_dependent_cache(_fused_grid_runner.cache_clear)
+
+
+def fused_grid_accumulate(code, nsteps: int, seeds_2d, params, batch: int,
+                          mesh: Mesh, channel: str = "awgn",
+                          demapper: str = "soft", interpret: bool = False):
+    """Fused-kernel sweep×frames accumulation: ``seeds_2d`` [R, frames_axis]
+    int32 per-(point, device) seeds with R == the sweep axis size, ``params``
+    [R].  Counter-identical to R separate :func:`fused_mc_accumulate` calls
+    with the same seeds (validated by tests/test_sweep.py)."""
+    run = _fused_grid_runner(code, batch, mesh, channel, demapper, interpret)
+    be, fe, nb = run(jnp.asarray(seeds_2d, jnp.int32),
+                     jnp.asarray(params, jnp.float32), jnp.int32(nsteps))
+    return np.asarray(be), np.asarray(fe), np.asarray(nb)
 
 
 def fused_mc_eligible(code, channel: str, decoder: str, demapper: str) -> bool:

@@ -26,7 +26,8 @@ from convolutional_codes_tpu.ops.channels import awgn_sigma
 from convolutional_codes_tpu.ops.fano import FANO_TIMEOUT
 from convolutional_codes_tpu.parallel.mesh import frames_axis_size
 from convolutional_codes_tpu.parallel.montecarlo import (
-    fused_mc_accumulate, fused_mc_eligible, sharded_accumulate)
+    fused_grid_accumulate, fused_mc_accumulate, fused_mc_eligible,
+    grid_accumulate_with_keys, sharded_accumulate)
 from convolutional_codes_tpu.sim.chain import make_point_step, make_uncoded_step
 
 #: Default Eb/N0 grid in dB (AWGN-channel/main.c:150-152).
@@ -310,7 +311,7 @@ def run_sweep(spec: SweepSpec, mesh=None, checkpoint_path: Optional[str] = None,
                                        spec.demapper))
     fused_batch = max(1024, -(-frames // 1024) * 1024) if use_fused else frames
 
-    records: List[PointRecord] = []
+    records_by_idx = {}
     key = jax.random.PRNGKey(spec.seed)
     eff_frames = fused_batch if use_fused else frames
     # host-looped sequential decoders on TPU (Pallas kernels with bounded
@@ -320,22 +321,96 @@ def run_sweep(spec: SweepSpec, mesh=None, checkpoint_path: Optional[str] = None,
                 and spec.channel != "uncoded"
                 and jax.default_backend() == "tpu")
     bits_per_call = eff_frames * frame_bits * (1 if seq_host else ndev)
+    # chunk scans so int32 counters cannot overflow and dispatches stay
+    # reasonably sized
+    chunk = max(1, (1 << 30) // max(1, eff_frames * frame_bits))
+    uncoded = spec.channel == "uncoded"
 
+    def finish_point(i, point, param, be, fe, nb, wall):
+        rec = PointRecord(
+            code=f"uncoded-{code.symlen_out}bit" if uncoded else code.name,
+            channel=spec.channel,
+            decoder="argmin" if uncoded else spec.decoder,
+            demapper=spec.demapper, point=float(point), param=param,
+            bits=nb, bit_errors=be, frame_errors=fe,
+            frames=nb // frame_bits, ber=be / nb, fer=fe / (nb // frame_bits),
+            wall_s=wall, bits_per_s=nb / wall if wall > 0 else float("inf"))
+        records_by_idx[i] = rec
+        if verbose:
+            print(f"[{spec.channel}/{spec.decoder}/{spec.demapper} {code.name}] "
+                  f"point={point:g} bits={nb:.3g} BER={rec.ber:.6e} "
+                  f"FER={rec.fer:.3e} {rec.bits_per_s:.3e} bits/s", flush=True)
+        if checkpoint_path:
+            done_points[point] = rec.to_dict()
+            with open(checkpoint_path, "w") as f:
+                json.dump({str(k): v for k, v in done_points.items()}, f)
+
+    # plan: (index, point, param, nsteps) for every point not checkpointed
+    pending = []
     for i, point in enumerate(points):
-        pkey = jax.random.fold_in(key, i)
+        if point in done_points:
+            records_by_idx[i] = PointRecord(**done_points[point])
+            continue
         target_bits = int(spec.bits_per_point or tier(point))
         nsteps = max(1, -(-target_bits // bits_per_call))
-        param = to_param(point)
+        pending.append((i, point, to_param(point), nsteps))
 
-        if point in done_points:
-            d = done_points[point]
-            records.append(PointRecord(**d))
-            continue
+    # ---- sweep×frames grid batches (SURVEY §2e sweep parallelism) --------
+    # Points with equal step counts run concurrently across the `sweep`
+    # mesh axis, each group psum-reducing over `frames`; per-point keys are
+    # derived exactly as the serial path derives them, so counters are
+    # identical to a serial run.
+    grid_ok = (mesh is not None and "sweep" in mesh.axis_names
+               and "frames" in mesh.axis_names and not seq_host)
+    if grid_ok:
+        Ds = mesh.shape["sweep"]
+        by_steps = {}
+        for item in pending:
+            by_steps.setdefault(item[3], []).append(item)
+        serial_rest = []
+        for nsteps, group in by_steps.items():
+            while len(group) >= Ds:
+                batch_items, group = group[:Ds], group[Ds:]
+                t0 = time.time()
+                be = np.zeros(Ds, np.int64); fe = np.zeros(Ds, np.int64)
+                nb = np.zeros(Ds, np.int64)
+                left, ci = nsteps, 0
+                prms = [it[2] for it in batch_items]
+                with annotate("sweep_grid_batch"):
+                    while left > 0:
+                        n = min(chunk, left)
+                        if use_fused:
+                            # replicate fused_mc_accumulate's seed derivation
+                            # exactly (counter identity with the serial path)
+                            seeds = np.array(
+                                [[(((spec.seed * 1000003 + it[0] * 7919 + ci)
+                                    & 0x7FFFFFFF) * 1315423911 + d)
+                                  & 0x7FFFFFFF for d in range(ndev)]
+                                 for it in batch_items], np.int64).astype(np.int32)
+                            cbe, cfe, cnb = fused_grid_accumulate(
+                                code, n, seeds, prms, fused_batch, mesh,
+                                channel=spec.channel, demapper=spec.demapper)
+                        else:
+                            keys = jnp.stack([
+                                jax.random.split(jax.random.fold_in(
+                                    jax.random.fold_in(key, it[0]), ci), ndev)
+                                for it in batch_items])
+                            cbe, cfe, cnb = grid_accumulate_with_keys(
+                                step, n, keys, prms, mesh)
+                        be += np.asarray(cbe, np.int64)
+                        fe += np.asarray(cfe, np.int64)
+                        nb += np.asarray(cnb, np.int64)
+                        left -= n; ci += 1
+                wall = (time.time() - t0) / Ds    # concurrent: amortized
+                for r, (i, point, param, _) in enumerate(batch_items):
+                    finish_point(i, point, param, int(be[r]), int(fe[r]),
+                                 int(nb[r]), wall)
+            serial_rest.extend(group)
+        pending = sorted(serial_rest)
 
+    for i, point, param, nsteps in pending:
+        pkey = jax.random.fold_in(key, i)
         t0 = time.time()
-        # chunk scans so int32 counters cannot overflow and dispatches stay
-        # reasonably sized
-        chunk = max(1, min(nsteps, max(1, (1 << 30) // max(1, eff_frames * frame_bits))))
         be = fe = nb = 0
         left = nsteps
         ci = 0
@@ -360,26 +435,8 @@ def run_sweep(spec: SweepSpec, mesh=None, checkpoint_path: Optional[str] = None,
                 be += cbe; fe += cfe; nb += cnb
                 left -= n; ci += 1
         wall = time.time() - t0
-
         # uncoded rows: no decoder runs (argmin symbol decision,
         # uncoded/main.c:104-111) and the code tables are unused
-        uncoded = spec.channel == "uncoded"
-        rec = PointRecord(
-            code=f"uncoded-{code.symlen_out}bit" if uncoded else code.name,
-            channel=spec.channel,
-            decoder="argmin" if uncoded else spec.decoder,
-            demapper=spec.demapper, point=float(point), param=param,
-            bits=nb, bit_errors=be, frame_errors=fe,
-            frames=nb // frame_bits, ber=be / nb, fer=fe / (nb // frame_bits),
-            wall_s=wall, bits_per_s=nb / wall if wall > 0 else float("inf"))
-        records.append(rec)
-        if verbose:
-            print(f"[{spec.channel}/{spec.decoder}/{spec.demapper} {code.name}] "
-                  f"point={point:g} bits={nb:.3g} BER={rec.ber:.6e} "
-                  f"FER={rec.fer:.3e} {rec.bits_per_s:.3e} bits/s", flush=True)
-        if checkpoint_path:
-            done_points[point] = rec.to_dict()
-            with open(checkpoint_path, "w") as f:
-                json.dump({str(k): v for k, v in done_points.items()}, f)
+        finish_point(i, point, param, be, fe, nb, wall)
 
-    return records
+    return [records_by_idx[i] for i in sorted(records_by_idx)]
