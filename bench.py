@@ -218,6 +218,26 @@ def _bench_seq(code_key, decoder, metric, snr_db, baseline, B=131072,
     _emit(metric, nb, dt, baseline, snr_db=snr_db, ber=be / nb)
 
 
+def _bench_fano_mc(code_key, metric, snr_db, baseline, lanes=1024, fpl=64,
+                   timeout=10000):
+    """Fano rows via the fused MC kernel with in-kernel lane refill
+    (ops/fano_mc.py): a finished lane banks its counts and hash-generates
+    its next frame inside the kernel, so the lockstep tile pays per-lane
+    mean work, not the max of 128 single-frame walks."""
+    from convolutional_codes_tpu.ops.fano_mc import mc_fano
+
+    code = get_code(code_key)
+    param = float(awgn_sigma(snr_db))
+    mc_fano(code, lanes, fpl, 1, param, block_lanes=128,
+            timeout_per_bit=timeout)                       # compile + warm
+    t0 = time.time()
+    be, fe, nb = mc_fano(code, lanes, fpl, 4242, param, block_lanes=128,
+                         timeout_per_bit=timeout)
+    dt = time.time() - t0
+    _emit(metric, nb, dt, baseline, snr_db=snr_db, ber=be / nb,
+          frames=lanes * fpl)
+
+
 def _bench_acs(code_key, metric, B=262144, nsteps=8):
     """Decode-only Pallas ACS+traceback rate (PERF.md §2): per-step fresh
     random distance tensors generated in-jit (~1 uniform/element, ~10% of
@@ -271,8 +291,10 @@ def bench_all():
     _bench_seq("k9-r12", "stack", "awgn_stack_k9_soft", 8.0, 1.4e5)
     # flagship-code sequential rows
     _bench_seq(0, "stack", "awgn_stack_k3_soft", 8.0, 1.4e5)
-    _bench_seq(0, "fano", "awgn_fano_k3_soft", 8.0, 7.1e3)
-    # config 4: fano on K=15 + 16-QAM soft demapper
+    _bench_fano_mc(0, "awgn_fano_k3_soft", 8.0, 7.1e3, lanes=1024, fpl=128)
+    # config 4: fano on K=15 + 16-QAM soft demapper (compaction-pool path:
+    # at T*M = 214*16 the in-kernel refill's datagen outweighs its
+    # utilization gain, so the pool kernel stays faster here)
     _bench_seq("k15-r14-16qam", "fano", "awgn_fano_k15_16qam", 14.0, 7.1e3,
                B=4096)
 

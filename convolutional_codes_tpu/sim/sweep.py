@@ -320,6 +320,17 @@ def run_sweep(spec: SweepSpec, mesh=None, checkpoint_path: Optional[str] = None,
     seq_host = (spec.decoder in ("stack", "fano")
                 and spec.channel != "uncoded"
                 and jax.default_backend() == "tpu")
+    # Fano on TPU: the fused MC kernel with in-kernel lane refill
+    # (ops/fano_mc.py) — 3-4x the compaction-driven path; channel RNG is
+    # the coordinate hash (distribution-level, same contract as the fused
+    # Viterbi chains).  CONVCODES_NO_FANO_MC=1 forces the legacy path.
+    import os as _os
+    fano_mc_hw = (seq_host and spec.decoder == "fano"
+                  and code.num_block_symbols * code.points_per_symbol <= 1024
+                  and not _os.environ.get("CONVCODES_NO_FANO_MC"))
+    # (big T*M codes — e.g. K=15 + 16-QAM — stay on the compaction-pool
+    # path: the in-kernel refill's datagen planes scale with T*M and
+    # outweigh the utilization gain there, measured round 3)
     bits_per_call = eff_frames * frame_bits * (1 if seq_host else ndev)
     # chunk scans so int32 counters cannot overflow and dispatches stay
     # reasonably sized
@@ -410,6 +421,22 @@ def run_sweep(spec: SweepSpec, mesh=None, checkpoint_path: Optional[str] = None,
 
     for i, point, param, nsteps in pending:
         pkey = jax.random.fold_in(key, i)
+        if fano_mc_hw:
+            from convolutional_codes_tpu.ops.fano_mc import mc_fano
+            target_bits = int(spec.bits_per_point or tier(point))
+            lanes = 8192 if target_bits >= 8192 * frame_bits else 1024
+            fpl = max(1, -(-target_bits // (lanes * frame_bits)))
+            seed_i = (spec.seed * 1000003 + i * 7919) & 0x7FFFFFFF
+            t0 = time.time()
+            pt_trace = (f"{spec.trace_dir}/point_{point:g}"
+                        if spec.trace_dir else None)
+            with trace(pt_trace), annotate(f"sweep_point_{point:g}"):
+                be, fe, nb = mc_fano(
+                    code, lanes, fpl, seed_i, param, channel=spec.channel,
+                    demapper=spec.demapper,
+                    timeout_per_bit=spec.timeout_per_bit)
+            finish_point(i, point, param, be, fe, nb, time.time() - t0)
+            continue
         t0 = time.time()
         be = fe = nb = 0
         left = nsteps
