@@ -46,6 +46,26 @@ from convolutional_codes_tpu.ops.viterbi_pallas import (
 
 _TWO_PI = 2.0 * math.pi
 
+#: trellis/traceback loop unroll inside the fused kernels: amortizes the
+#: per-iteration loop/guard overhead (~10 of ~150 lane-ops per symbol,
+#: PERF.md §1) and gives Mosaic a longer window to pipeline.  Mosaic's
+#: fori lowering only supports unroll=1 or full unroll, so this is a
+#: manual body-duplication factor (must divide every T it is used with
+#: — block T values are even; guarded below).
+_TRELLIS_UNROLL = 6
+
+
+def _fori_unrolled(T, body, init, unroll):
+    if unroll <= 1 or T % unroll:
+        return jax.lax.fori_loop(0, T, body, init)
+
+    def blk(i, c):
+        for j in range(unroll):
+            c = body(i * unroll + j, c)
+        return c
+
+    return jax.lax.fori_loop(0, T // unroll, blk, init)
+
 #: Fused-kernel state ceiling: above _UNROLL_STATES (64) trellis selection
 #: switches to one-hot MXU matmuls with the P/E tables as kernel inputs
 #: (same scheme as ops/viterbi_pallas.py), scaling the fused chain to
@@ -384,13 +404,14 @@ def _mc_kernel(trellis: Trellis, T: int, L: int, Bt: int,
                 metrics = acs_step(metrics, dists, dec_ref, t, tables)
                 return metrics, reg
 
-            metrics, _ = jax.lax.fori_loop(
-                0, T, fwd, (init_metrics(), jnp.zeros((Bt,), jnp.uint32)))
+            metrics, _ = _fori_unrolled(
+                T, fwd, (init_metrics(), jnp.zeros((Bt,), jnp.uint32)),
+                _TRELLIS_UNROLL)
             cur = argmin_lanes(metrics)
-            _, err, fe = jax.lax.fori_loop(
-                0, T, make_tb(bits_ref, dec_ref),
+            _, err, fe = _fori_unrolled(
+                T, make_tb(bits_ref, dec_ref),
                 (cur, jnp.zeros((Bt,), jnp.int32),
-                 jnp.zeros((Bt,), jnp.int32)))
+                 jnp.zeros((Bt,), jnp.int32)), _TRELLIS_UNROLL)
             return errs + err, ferrs + fe
 
         # dynamic trip count: a large static bound tempts the compiler to
@@ -492,12 +513,13 @@ def _mc_kernel_bulk(trellis: Trellis, T: int, L: int, Bt: int,
                 dists = [dists_ref[e, t] for e in range(M)]
                 return acs_step(metrics, dists, dec_ref, t, tables)
 
-            metrics = jax.lax.fori_loop(0, T, fwd, init_metrics())
+            metrics = _fori_unrolled(T, fwd, init_metrics(),
+                                     _TRELLIS_UNROLL)
             cur = argmin_lanes(metrics)
-            _, err, fe = jax.lax.fori_loop(
-                0, T, make_tb(bits_ref, dec_ref),
+            _, err, fe = _fori_unrolled(
+                T, make_tb(bits_ref, dec_ref),
                 (cur, jnp.zeros((Bt,), jnp.int32),
-                 jnp.zeros((Bt,), jnp.int32)))
+                 jnp.zeros((Bt,), jnp.int32)), _TRELLIS_UNROLL)
             return errs + err, ferrs + fe
 
         errs, ferrs = jax.lax.fori_loop(
