@@ -218,6 +218,43 @@ def _bench_seq(code_key, decoder, metric, snr_db, baseline, B=131072,
     _emit(metric, nb, dt, baseline, snr_db=snr_db, ber=be / nb)
 
 
+def _bench_streaming_per_chip(metric, B=128, T=16384, snr_db=4.0, calls=3):
+    """Per-chip rate of the multi-chip streaming decoder's shard body:
+    streaming_viterbi_decode on a 1-device 'seq' mesh with the VMEM
+    Pallas ACS backend (parallel/streaming.py) — the number a v5e pod
+    slice scales by along the seq axis."""
+    from convolutional_codes_tpu.ops.channels import awgn
+    from convolutional_codes_tpu.ops.demapper import soft_demap
+    from convolutional_codes_tpu.ops.encoder import encode_stream
+    from convolutional_codes_tpu.ops.mapper import map_symbols
+    from convolutional_codes_tpu.parallel.mesh import make_mesh
+    from convolutional_codes_tpu.parallel.streaming import (
+        streaming_viterbi_decode)
+
+    code = get_code("nasa-k7")
+    mesh = make_mesh({"seq": 1}, devices=jax.devices()[:1])
+    L = T - (code.constraint_length - 1)
+
+    @jax.jit
+    def gen(key):
+        kb, kn = jax.random.split(key)
+        bits = jax.random.bernoulli(kb, 0.5, (B, L)).astype(jnp.int32)
+        syms = encode_stream(code, bits, terminate=True)
+        return soft_demap(code.symlen_out,
+                          awgn(kn, map_symbols(code, syms),
+                               jnp.float32(awgn_sigma(snr_db))))
+
+    dec = lambda d: streaming_viterbi_decode(code, d, mesh, warmup=128,
+                                             backend="pallas")
+    key = jax.random.PRNGKey(9)
+    jax.block_until_ready(dec(gen(key)))           # compile + warm
+    t0 = time.time()
+    for i in range(calls):
+        _ = int(dec(gen(jax.random.fold_in(key, i)))[0, 0])
+    dt = time.time() - t0
+    _emit(metric, calls * B * L, dt, None, backend="pallas_shard_map")
+
+
 def _bench_fano_mc(code_key, metric, snr_db, baseline, lanes=1024, fpl=64,
                    timeout=10000):
     """Fano rows via the fused MC kernel with in-kernel lane refill
@@ -287,6 +324,9 @@ def bench_all():
     # (distances materialized in HBM, lane-parallel overlap-save decode)
     _bench_longframe("nasa-k7", "awgn_k7_longframe_decode_xla", False,
                      frame_bits=1 << 16, B=128, baseline=None)
+    # per-chip rate of the multi-chip streaming shard body (Pallas ACS
+    # under shard_map; scales along the seq axis on a pod slice)
+    _bench_streaming_per_chip("awgn_k7_streaming_shard_per_chip")
     # config 3: stack on K=9, AWGN soft
     _bench_seq("k9-r12", "stack", "awgn_stack_k9_soft", 8.0, 1.4e5)
     # flagship-code sequential rows

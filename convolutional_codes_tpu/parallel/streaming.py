@@ -52,8 +52,10 @@ def _pin_first_block_halo(dists_halo: jnp.ndarray) -> jnp.ndarray:
 
 
 def streaming_viterbi_decode(code: Code, dists: jnp.ndarray, mesh: Mesh,
-                             warmup: int = 128, seq_axis: str = "seq"
-                             ) -> jnp.ndarray:
+                             warmup: int = 128, seq_axis: str = "seq",
+                             backend: str = "auto", chunk: int = 128,
+                             block_lanes: int = 512,
+                             interpret: bool = False) -> jnp.ndarray:
     """Decode a long soft-demapped frame sharded over time blocks.
 
     Args:
@@ -61,19 +63,47 @@ def streaming_viterbi_decode(code: Code, dists: jnp.ndarray, mesh: Mesh,
         size; sharded (or shardable) over axis 1.
       mesh: mesh containing ``seq_axis``.
       warmup: halo length W in symbols.
+      backend: "pallas" runs each shard's forward pass in the VMEM ACS
+        kernel (ops/viterbi_pallas) — the per-chip kernel under the
+        cross-chip halo exchange; "xla" keeps the bandwidth-bound XLA
+        scan; "auto" picks pallas on TPU (or with ``interpret``).
 
     Returns: ``[B, T]`` decoded bits (the caller strips the K-1 tail).
     """
-    trellis = build_trellis(code)
     D = mesh.shape[seq_axis]
     B, T, M = dists.shape
     if T % D != 0:
         raise ValueError(f"frame length {T} not divisible by seq axis {D}")
-    W = warmup
+    if backend == "auto":
+        backend = ("pallas" if interpret or jax.default_backend() == "tpu"
+                   else "xla")
+    Tl = T // D
+    if backend == "pallas" and ((warmup + Tl) % chunk or warmup % chunk):
+        raise ValueError(f"pallas backend needs chunk {chunk} to divide "
+                         f"both warmup {warmup} and warmup+block "
+                         f"{warmup + Tl}")
+    run = _streaming_fn(code, mesh, B, M, warmup, seq_axis, backend, chunk,
+                        block_lanes, interpret)
+    return run(dists)
+
+
+@lru_cache(maxsize=None)
+def _streaming_fn(code: Code, mesh: Mesh, B: int, M: int, W: int,
+                  seq_axis: str, backend: str, chunk: int, block_lanes: int,
+                  interpret: bool):
+    """Cached jitted shard_map runner — a fresh closure per call would
+    recompile every decode (~seconds over the tunneled backend)."""
+    trellis = build_trellis(code)
+    D = mesh.shape[seq_axis]
+    use_pallas = backend == "pallas"
+    if use_pallas:
+        from convolutional_codes_tpu.ops.viterbi_pallas import (
+            acs_forward_pallas)
 
     spec_in = P(None, seq_axis, None)
     spec_out = P(None, seq_axis)
 
+    @jax.jit
     @partial(shard_map, mesh=mesh, in_specs=(spec_in,), out_specs=spec_out,
              check_vma=False)
     def run(local):                                   # [B, Tl, M]
@@ -91,24 +121,43 @@ def streaming_viterbi_decode(code: Code, dists: jnp.ndarray, mesh: Mesh,
         left_halo = jnp.where(first, _pin_first_block_halo(from_left), from_left)
         ext = jnp.concatenate([left_halo, local, from_right], axis=1)
 
-        # Forward ACS over [W, Tl, W] segments; capture metrics at the true
-        # frame end for the last block's traceback.
-        init = jnp.zeros((B, trellis.num_states), jnp.float32)
-        mid_metrics, dec_a = acs_forward(trellis, ext[:, : W + Tl], False, init)
-        end_metrics, dec_b = acs_forward(trellis, ext[:, W + Tl:], False,
-                                         mid_metrics)
-        decisions = jnp.concatenate([dec_a, dec_b], axis=0)  # [W+Tl+W, B, S]
+        # Forward ACS over [W | Tl | W]; capture metrics at the true frame
+        # end for the last block's traceback.
+        if use_pallas:
+            d_tmb = jnp.transpose(ext.astype(jnp.float32), (1, 2, 0))
+            init = jnp.zeros((trellis.num_states, B), jnp.float32)
 
-        start_state = jnp.where(
-            last,
-            jnp.argmin(mid_metrics, axis=-1),
-            jnp.argmin(end_metrics, axis=-1)).astype(jnp.int32)
+            def body(c, dchunk):
+                return acs_forward_pallas(trellis, dchunk, c, False,
+                                          block_lanes=min(block_lanes, B),
+                                          interpret=interpret)
+
+            mid_m, dec_a = jax.lax.scan(
+                body, init,
+                d_tmb[: W + Tl].reshape((W + Tl) // chunk, chunk, M, B))
+            end_m, dec_b = jax.lax.scan(
+                body, mid_m,
+                d_tmb[W + Tl:].reshape(W // chunk, chunk, M, B))
+            w = dec_a.shape[-2]
+            decisions = jnp.concatenate(
+                [dec_a.reshape(W + Tl, w, B), dec_b.reshape(W, w, B)], 0)
+            mid_am = jnp.argmin(mid_m, axis=0)
+            end_am = jnp.argmin(end_m, axis=0)
+        else:
+            init = jnp.zeros((B, trellis.num_states), jnp.float32)
+            mid_m, dec_a = acs_forward(trellis, ext[:, : W + Tl], False, init)
+            end_m, dec_b = acs_forward(trellis, ext[:, W + Tl:], False, mid_m)
+            decisions = jnp.concatenate([dec_a, dec_b], axis=0)
+            mid_am = jnp.argmin(mid_m, axis=-1)
+            end_am = jnp.argmin(end_m, axis=-1)
+
+        start_state = jnp.where(last, mid_am, end_am).astype(jnp.int32)
         start_index = jnp.where(last, W + Tl, W + Tl + W)
         bits_ext = traceback_from(trellis, decisions, start_state,
                                   start_index=start_index)
         return bits_ext[:, W: W + Tl]
 
-    return run(dists)
+    return run
 
 
 def long_frame_decode_pallas(code: Code, dists: jnp.ndarray,

@@ -199,3 +199,22 @@ def test_warmup_convergence_audit_clean():
         interpret=True)
     assert mismatches == 0
     assert np.array_equal(np.asarray(b2w), mono)
+
+
+@pytest.mark.parametrize("snr_db", [3.0, 6.0])
+def test_streaming_pallas_backend_matches_monolithic(snr_db):
+    """Multi-chip streaming with the VMEM Pallas ACS per shard (the
+    production per-chip kernel under the ppermute halo exchange) must be
+    bit-identical to the monolithic decode — VERDICT r2 item 6."""
+    code = get_code("nasa-k7")
+    D = 4
+    Tl = 384                               # W + Tl = 512, chunk-divisible
+    T = D * Tl
+    L = T - (code.constraint_length - 1)
+    mesh = make_mesh({"seq": D}, devices=jax.devices()[:D])
+    bits, dists = _noisy_frame(code, B=2, L=L, snr_db=snr_db, seed=23)
+    mono = np.asarray(monolithic_reference_decode(code, dists))
+    out = np.asarray(streaming_viterbi_decode(
+        code, dists, mesh, warmup=128, backend="pallas", chunk=128,
+        block_lanes=64, interpret=True))
+    assert np.array_equal(out, mono)
