@@ -64,7 +64,7 @@ _FMAX = np.float32(3.4028235e38)
 
 
 def _fano_mc_kernel(code: Code, T: int, L: int, Bt: int, channel: str,
-                    demapper: str, timeout_per_bit: int, fpl: int):
+                    demapper: str, timeout_per_bit: int):
     trellis = build_trellis(code)
     M = code.points_per_symbol
     symlen = code.symlen_out
@@ -80,7 +80,7 @@ def _fano_mc_kernel(code: Code, T: int, L: int, Bt: int, channel: str,
         wrong = int(code.fano_bit_metrics[1])
     tpbT = int(timeout_per_bit) * T
 
-    def kernel(iters_ref, seed_ref, param_ref,
+    def kernel(iters_ref, seed_ref, param_ref, fpl_ref,
                ni_in, nf_in, ci_in, cf_in, syms_in, bits_in,
                ni_ref, nf_ref, ci_ref, cf_ref, syms_ref, bits_ref):
         ni_ref[:] = ni_in[:]
@@ -92,6 +92,8 @@ def _fano_mc_kernel(code: Code, T: int, L: int, Bt: int, channel: str,
 
         seed = seed_ref[0]
         param = param_ref[0]
+        fpl = fpl_ref[0]          # frames per lane: dynamic, so one
+                                  # executable serves every sweep tier
         row2d = jax.lax.broadcasted_iota(jnp.int32, (T, Bt), 0)
         lane2d = (jax.lax.broadcasted_iota(jnp.int32, (T, Bt), 1)
                   + Bt * pl.program_id(0))
@@ -347,13 +349,13 @@ def _fano_mc_kernel(code: Code, T: int, L: int, Bt: int, channel: str,
 
 @functools.lru_cache(maxsize=None)
 def _fano_mc_call(code: Code, B: int, Bt: int, channel: str, demapper: str,
-                  timeout_per_bit: int, fpl: int, interpret: bool):
+                  timeout_per_bit: int, interpret: bool):
     T = code.num_block_symbols
     L = code.block_length
     M = code.points_per_symbol
     soft = channel == "awgn"
     kernel = _fano_mc_kernel(code, T, L, Bt, channel, demapper,
-                             timeout_per_bit, fpl)
+                             timeout_per_bit)
 
     if soft:
         sym_spec = pl.BlockSpec((T, M, Bt), lambda i: (0, 0, i),
@@ -385,7 +387,7 @@ def _fano_mc_call(code: Code, B: int, Bt: int, channel: str, demapper: str,
     call = pl.pallas_call(
         kernel,
         grid=(B // Bt,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3 + state_specs,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 4 + state_specs,
         out_specs=state_specs,
         out_shape=state_shapes,
         interpret=interpret,
@@ -396,8 +398,8 @@ def _fano_mc_call(code: Code, B: int, Bt: int, channel: str, demapper: str,
     )
 
     @jax.jit
-    def step(iters, seed, param, state):
-        out = call(iters, seed, param, *state)
+    def step(iters, seed, param, fpl, state):
+        out = call(iters, seed, param, fpl, *state)
         fin = (out[2][_ALLDN] > 0).astype(jnp.int32)
         return out, fin.sum()
 
@@ -442,10 +444,11 @@ def mc_fano(code: Code, lanes: int, frames_per_lane: int, seed, param,
     if B % Bt:
         raise ValueError(f"lanes {B} not divisible by tile {Bt}")
     step = _fano_mc_call(code, B, Bt, channel, demapper, timeout_per_bit,
-                         frames_per_lane, interpret)
+                         interpret)
     state = _init_state(code, B, channel)
     seed_a = jnp.asarray([int(seed) & 0x7FFFFFFF], jnp.int32)
     param_a = jnp.asarray([param], jnp.float32)
+    fpl_a = jnp.asarray([frames_per_lane], jnp.int32)
     ntiles = B // Bt
     # ramp like seq_chunking: small first dispatch, then budget-bounded
     from convolutional_codes_tpu.ops.seq_chunking import _DISPATCH_BUDGET
@@ -453,7 +456,7 @@ def mc_fano(code: Code, lanes: int, frames_per_lane: int, seed, param,
     for _ in range(max_calls):
         t0 = _time.time()
         state, nfin = step(jnp.asarray([iters], jnp.int32), seed_a, param_a,
-                           state)
+                           fpl_a, state)
         state = list(state)
         nfin = int(nfin)
         if _debug:

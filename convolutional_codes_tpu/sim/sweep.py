@@ -106,7 +106,13 @@ class PointRecord:
     ber: float
     fer: float              # uncoded: symbol error rate
     wall_s: float
-    bits_per_s: float
+    bits_per_s: float           # warm steady-state rate when measurable
+    #: measurement hygiene: the first accumulate chunk of a point pays
+    #: compile + tunnel warmup; bits/wall of the remaining chunks are the
+    #: steady-state numbers (0/0.0 when the point ran as a single chunk,
+    #: in which case bits_per_s falls back to the total-wall rate)
+    warm_bits: int = 0
+    warm_wall_s: float = 0.0
 
     def to_dict(self):
         return dataclasses.asdict(self)
@@ -337,7 +343,10 @@ def run_sweep(spec: SweepSpec, mesh=None, checkpoint_path: Optional[str] = None,
     chunk = max(1, (1 << 30) // max(1, eff_frames * frame_bits))
     uncoded = spec.channel == "uncoded"
 
-    def finish_point(i, point, param, be, fe, nb, wall):
+    def finish_point(i, point, param, be, fe, nb, wall,
+                     warm_bits=0, warm_wall=0.0):
+        rate = (warm_bits / warm_wall if warm_wall > 0
+                else (nb / wall if wall > 0 else float("inf")))
         rec = PointRecord(
             code=f"uncoded-{code.symlen_out}bit" if uncoded else code.name,
             channel=spec.channel,
@@ -345,7 +354,8 @@ def run_sweep(spec: SweepSpec, mesh=None, checkpoint_path: Optional[str] = None,
             demapper=spec.demapper, point=float(point), param=param,
             bits=nb, bit_errors=be, frame_errors=fe,
             frames=nb // frame_bits, ber=be / nb, fer=fe / (nb // frame_bits),
-            wall_s=wall, bits_per_s=nb / wall if wall > 0 else float("inf"))
+            wall_s=wall, bits_per_s=rate,
+            warm_bits=warm_bits, warm_wall_s=warm_wall)
         records_by_idx[i] = rec
         if verbose:
             print(f"[{spec.channel}/{spec.decoder}/{spec.demapper} {code.name}] "
@@ -385,9 +395,11 @@ def run_sweep(spec: SweepSpec, mesh=None, checkpoint_path: Optional[str] = None,
                 t0 = time.time()
                 be = np.zeros(Ds, np.int64); fe = np.zeros(Ds, np.int64)
                 nb = np.zeros(Ds, np.int64)
+                wb = np.zeros(Ds, np.int64); ww = 0.0
                 left, ci = nsteps, 0
                 prms = [it[2] for it in batch_items]
                 with annotate("sweep_grid_batch"):
+                    tc = time.time()
                     while left > 0:
                         n = min(chunk, left)
                         if use_fused:
@@ -411,11 +423,15 @@ def run_sweep(spec: SweepSpec, mesh=None, checkpoint_path: Optional[str] = None,
                         be += np.asarray(cbe, np.int64)
                         fe += np.asarray(cfe, np.int64)
                         nb += np.asarray(cnb, np.int64)
+                        if ci > 0:                  # chunk 0 pays compile
+                            wb += np.asarray(cnb, np.int64)
+                            ww += time.time() - tc
                         left -= n; ci += 1
+                        tc = time.time()
                 wall = (time.time() - t0) / Ds    # concurrent: amortized
                 for r, (i, point, param, _) in enumerate(batch_items):
                     finish_point(i, point, param, int(be[r]), int(fe[r]),
-                                 int(nb[r]), wall)
+                                 int(nb[r]), wall, int(wb[r]), ww / Ds)
             serial_rest.extend(group)
         pending = sorted(serial_rest)
 
@@ -431,14 +447,24 @@ def run_sweep(spec: SweepSpec, mesh=None, checkpoint_path: Optional[str] = None,
             pt_trace = (f"{spec.trace_dir}/point_{point:g}"
                         if spec.trace_dir else None)
             with trace(pt_trace), annotate(f"sweep_point_{point:g}"):
-                be, fe, nb = mc_fano(
-                    code, lanes, fpl, seed_i, param, channel=spec.channel,
-                    demapper=spec.demapper,
-                    timeout_per_bit=spec.timeout_per_bit)
-            finish_point(i, point, param, be, fe, nb, time.time() - t0)
+                kw = dict(channel=spec.channel, demapper=spec.demapper,
+                          timeout_per_bit=spec.timeout_per_bit)
+                # cold slice pays compile; remainder is the warm rate
+                be, fe, nb = mc_fano(code, lanes, min(1, fpl), seed_i,
+                                     param, **kw)
+                wb = ww = 0
+                if fpl > 1:
+                    tw = time.time()
+                    b2, f2, n2 = mc_fano(code, lanes, fpl - 1,
+                                         seed_i ^ 0x2A5A5A5A, param, **kw)
+                    ww = time.time() - tw
+                    be += b2; fe += f2; nb += n2; wb = n2
+            finish_point(i, point, param, be, fe, nb, time.time() - t0,
+                         wb, ww)
             continue
         t0 = time.time()
         be = fe = nb = 0
+        wb = 0; ww = 0.0
         left = nsteps
         ci = 0
         # per-point XProf capture (utils/profiling; no-op when trace_dir
@@ -446,6 +472,7 @@ def run_sweep(spec: SweepSpec, mesh=None, checkpoint_path: Optional[str] = None,
         pt_trace = (f"{spec.trace_dir}/point_{point:g}"
                     if spec.trace_dir else None)
         with trace(pt_trace), annotate(f"sweep_point_{point:g}"):
+            tc = time.time()
             while left > 0:
                 n = min(chunk, left)
                 if seq_host:
@@ -460,10 +487,14 @@ def run_sweep(spec: SweepSpec, mesh=None, checkpoint_path: Optional[str] = None,
                     cbe, cfe, cnb = sharded_accumulate(
                         step, n, jax.random.fold_in(pkey, ci), param, mesh)
                 be += cbe; fe += cfe; nb += cnb
+                if ci > 0:                          # chunk 0 pays compile
+                    wb += cnb
+                    ww += time.time() - tc
                 left -= n; ci += 1
+                tc = time.time()
         wall = time.time() - t0
         # uncoded rows: no decoder runs (argmin symbol decision,
         # uncoded/main.c:104-111) and the code tables are unused
-        finish_point(i, point, param, be, fe, nb, wall)
+        finish_point(i, point, param, be, fe, nb, wall, wb, ww)
 
     return [records_by_idx[i] for i in sorted(records_by_idx)]

@@ -38,8 +38,25 @@ Z_THRESHOLD = 4.5
 
 
 def aggregate_bits_per_s(records) -> float:
-    return (sum(r.bits for r in records)
-            / max(sum(r.wall_s for r in records), 1e-9))
+    """Steady-state throughput across a grid.
+
+    Prefers the warm (post-compile) counters recorded since round 3
+    (PointRecord.warm_bits/warm_wall_s).  Legacy rows measured compile +
+    tunnel warmup inside the first point's wall (e.g. the p=1e-6 point of
+    results/bsc_viterbi_1.jsonl: 253 s wall for a point every later seed
+    reruns in <1 s), so rows whose rate is >20x below the grid median are
+    excluded from the legacy aggregate as cold-start artifacts."""
+    wb = sum(getattr(r, "warm_bits", 0) for r in records)
+    ww = sum(getattr(r, "warm_wall_s", 0.0) for r in records)
+    if wb and ww > 0:
+        return wb / ww
+    rates = sorted((r.bits_per_s for r in records if r.wall_s > 0))
+    if not rates:
+        return 0.0
+    med = rates[len(rates) // 2]
+    keep = [r for r in records if r.bits_per_s >= med / 20.0]
+    return (sum(r.bits for r in keep)
+            / max(sum(r.wall_s for r in keep), 1e-9))
 
 
 def zscore(p_obs, n_obs, p_pub, n_pub, cluster=1.0):
