@@ -38,9 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 from convolutional_codes_tpu.models.codebook import Code
 from convolutional_codes_tpu.models.trellis import build_trellis
 from convolutional_codes_tpu.ops.fano import FANO_TIMEOUT, FANO_DELTA
-from convolutional_codes_tpu.ops.fused_chain import _stage_fns
-from convolutional_codes_tpu.ops.fused_longframe import (
-    _TWO_PI, coord_bits, coord_uniform)
+from convolutional_codes_tpu.ops.mc_datagen import frames_host, make_datagen
 from convolutional_codes_tpu.ops.stack_pallas import _make_branch
 
 #: int32 control rows [per lane]
@@ -70,7 +68,7 @@ def _fano_mc_kernel(code: Code, T: int, L: int, Bt: int, channel: str,
     symlen = code.symlen_out
     K = code.constraint_length
     branch = _make_branch(code)
-    esym_of, hard_dists, tx_select, dist_vec, snap = _stage_fns(trellis)
+    datagen = make_datagen(trellis, T, L, channel, demapper)
     delta = float(FANO_DELTA)
     soft = channel == "awgn"
     if soft:
@@ -267,41 +265,14 @@ def _fano_mc_kernel(code: Code, T: int, L: int, Bt: int, channel: str,
             regen = mdone & banked & (fdone < fpl)
             # ---- datagen for regen lanes (full-width, masked select) -----
             gid2d = lane2d * fpl + fdone[None, :]
-            newbits = jnp.where(live2d,
-                                (coord_bits(gid2d, row2d, seed, 0)
-                                 & 1).astype(jnp.int32), 0)
+            newbits, newsyms = datagen(gid2d, row2d, seed, param,
+                                       taxis=0, stack_axis=1)
             bits_ref[:] = jnp.where(regen[None, :], newbits, bits_ref[:])
-            bplane = jnp.where(regen[None, :], newbits, 0).astype(jnp.uint32)
-            reg = bplane << (K - 1)
-            zrow = jnp.zeros((1, Bt), jnp.uint32)
-            for j in range(1, K):
-                shifted = jnp.concatenate(
-                    [jnp.broadcast_to(zrow, (j, Bt)), bplane[:T - j]], axis=0)
-                reg = reg | (shifted << (K - 1 - j))
-            esym = esym_of(reg)
             if soft:
-                u0 = coord_uniform(gid2d, row2d, seed, 1)
-                u1 = coord_uniform(gid2d, row2d, seed, 2)
-                r = jnp.sqrt(-2.0 * jnp.log(u0))
-                theta = jnp.float32(_TWO_PI) * u1
-                txi, txq = tx_select(esym)
-                rxi = txi + param * (r * jnp.cos(theta))
-                rxq = txq + param * (r * jnp.sin(theta))
-                dvec = dist_vec(rxi, rxq)
-                if demapper == "hard":
-                    sxi, sxq = snap(dvec)
-                    dvec = dist_vec(sxi, sxq)
-                plane = jnp.stack(dvec, axis=1)          # [T, M, Bt]
-                syms_ref[:] = jnp.where(regen[None, None, :], plane,
+                syms_ref[:] = jnp.where(regen[None, None, :], newsyms,
                                         syms_ref[:])
             else:
-                fmask = jnp.zeros((T, Bt), jnp.uint32)
-                for kk in range(symlen):
-                    fk = (coord_uniform(gid2d, row2d, seed, 1 + kk)
-                          < param).astype(jnp.uint32)
-                    fmask = fmask | (fk << kk)
-                rx = (esym ^ fmask).astype(jnp.int32)
-                syms_ref[:] = jnp.where(regen[None, :], rx, syms_ref[:])
+                syms_ref[:] = jnp.where(regen[None, :], newsyms, syms_ref[:])
 
             # ---- machine reset at node 0 (matches ops/fano._fano_parts) --
             rg = regen[None, :]
@@ -479,43 +450,6 @@ def mc_fano(code: Code, lanes: int, frames_per_lane: int, seed, param,
 def fano_frames_host(code: Code, gids: np.ndarray, seed: int, param: float,
                      channel: str, demapper: str = "soft"):
     """Rebuild the exact (bits, symbols) the kernel generates for global
-    frame ids ``gids`` — used by tests to decode the identical frames with
-    ops/fano.fano_decode_soft/_hard and compare error counts."""
-    trellis = build_trellis(code)
-    T = code.num_block_symbols
-    L = code.block_length
-    K = code.constraint_length
-    symlen = code.symlen_out
-    esym_of, hard_dists, tx_select, dist_vec, snap = _stage_fns(trellis)
-    g = jnp.asarray(gids, jnp.int32)[:, None]
-    t = jnp.arange(T)[None, :]
-    seed_a = jnp.uint32(int(seed) & 0x7FFFFFFF)
-    live = t < L
-
-    bits = jnp.where(live, (coord_bits(g, t, seed_a, 0) & 1).astype(jnp.int32),
-                     0)
-    bplane = bits.astype(jnp.uint32)
-    reg = bplane << (K - 1)
-    for j in range(1, K):
-        shifted = jnp.pad(bplane[:, :T - j], ((0, 0), (j, 0)))
-        reg = reg | (shifted << (K - 1 - j))
-    esym = esym_of(reg)
-    if channel == "awgn":
-        u0 = coord_uniform(g, t, seed_a, 1)
-        u1 = coord_uniform(g, t, seed_a, 2)
-        r = jnp.sqrt(-2.0 * jnp.log(u0))
-        theta = jnp.float32(_TWO_PI) * u1
-        txi, txq = tx_select(esym)
-        rxi = txi + jnp.float32(param) * (r * jnp.cos(theta))
-        rxq = txq + jnp.float32(param) * (r * jnp.sin(theta))
-        dvec = dist_vec(rxi, rxq)
-        if demapper == "hard":
-            sxi, sxq = snap(dvec)
-            dvec = dist_vec(sxi, sxq)
-        return np.asarray(bits), np.asarray(jnp.stack(dvec, axis=-1))
-    fmask = jnp.zeros(esym.shape, jnp.uint32)
-    for kk in range(symlen):
-        fk = (coord_uniform(g, t, seed_a, 1 + kk)
-              < jnp.float32(param)).astype(jnp.uint32)
-        fmask = fmask | (fk << kk)
-    return np.asarray(bits), np.asarray((esym ^ fmask).astype(jnp.int32))
+    frame ids ``gids`` (ops/mc_datagen.frames_host) — tests decode them
+    with ops/fano.fano_decode_soft/_hard and compare error counts."""
+    return frames_host(code, gids, seed, param, channel, demapper)
