@@ -25,3 +25,28 @@ def test_recorded_grid_matches_published(name):
     assert abs(worst) < Z_THRESHOLD, (name, worst)
     # full reference tier sample sizes at every point
     assert scale_of(records, channel) >= 1.0, name
+
+
+def test_uncoded_16qam_grid_matches_closed_form():
+    """The recorded full-tier uncoded 16-QAM grid (results/uncoded_4.jsonl,
+    the closed-form anchor for the 16-QAM extension) must match the exact
+    Gray-16-QAM BER formula at every point."""
+    import json
+    import math
+
+    def qf(x):
+        return 0.5 * math.erfc(x / math.sqrt(2.0))
+
+    from tools.reproduce_curves import RESULTS
+
+    a = 1.0 / math.sqrt(10.0)
+    with open(RESULTS / "uncoded_4.jsonl") as f:
+        rows = [json.loads(l) for l in f]
+    assert len(rows) == 8
+    for r in rows:
+        sigma = r["param"]
+        q1, q3, q5 = (qf(k * a / sigma) for k in (1, 3, 5))
+        exp = 0.25 * (3 * q1 + 2 * q3 - q5)
+        n, e = r["bits"], r["bit_errors"]
+        z = (e / n - exp) / math.sqrt(max(exp * (1 - exp) / n, 1e-30))
+        assert abs(z) < 4.5, (r["point"], z)
