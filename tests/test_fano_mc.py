@@ -21,6 +21,7 @@ CASES = [
     # (code, channel, param, demapper, timeout_per_bit)
     (0, "awgn", float(awgn_sigma(2.0)), "soft", 40),    # timeout-rich
     (0, "bsc", 0.05, "soft", 60),                       # hard metrics
+    (5, "awgn", float(awgn_sigma(3.0)), "soft", 50),    # rate 1/3, M=8
 ]
 
 

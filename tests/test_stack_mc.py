@@ -16,6 +16,7 @@ from convolutional_codes_tpu.ops.stack_mc import mc_stack, stack_frames_host
 CASES = [
     (0, "awgn", float(awgn_sigma(6.0)), "soft"),
     (0, "bsc", 0.05, "soft"),          # noisy: deep search + worst-replace
+    (5, "awgn", float(awgn_sigma(4.0)), "soft"),   # rate 1/3, M=8
 ]
 
 

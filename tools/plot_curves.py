@@ -65,6 +65,62 @@ FAMILIES = {
 }
 
 
+def _plot_16qam_extension(figures):
+    """16-QAM extension figure: the K=15 rate-1/4 Fano cliff grid plus the
+    uncoded Gray-16-QAM curve with its exact closed form (the published
+    diamonds of the reference configs have no counterpart here — the
+    extension's anchor is the closed form and the FER=1 -> 0 cliff)."""
+    import math
+
+    fano = RESULTS / "awgn_fano_16qam.jsonl"
+    unc = RESULTS / "uncoded_4.jsonl"
+    if not (fano.exists() or unc.exists()):
+        return
+    fig, ax = plt.subplots(figsize=(7.2, 5.4), dpi=150)
+    fig.patch.set_facecolor(SURFACE)
+    if unc.exists():
+        recs = read_jsonl(unc)
+        pts = sorted((r["point"], r["ber"]) for r in recs)
+        ax.plot([p for p, b in pts if b > 0], [b for _, b in pts if b > 0],
+                "-o", color=CODE_COLOR[1], linewidth=1.6, markersize=4.5,
+                label="uncoded 16-QAM", zorder=3)
+        a = 1.0 / math.sqrt(10.0)
+        from convolutional_codes_tpu.ops.channels import awgn_sigma
+
+        def qf(x):
+            return 0.5 * math.erfc(x / math.sqrt(2.0))
+
+        xs = [p / 10.0 for p in range(0, 161, 2)]
+        ys = []
+        for p in xs:
+            s = float(awgn_sigma(p, info_bits_per_symbol=4))
+            ys.append(0.25 * (3 * qf(a / s) + 2 * qf(3 * a / s)
+                              - qf(5 * a / s)))
+        ax.plot(xs, ys, "--", color=CODE_COLOR[1], linewidth=1.0,
+                label="16-QAM closed form", zorder=2)
+    if fano.exists():
+        recs = read_jsonl(fano)
+        pts = sorted((r["point"], r["ber"], r["fer"]) for r in recs)
+        ax.plot([p for p, b, _ in pts if b > 0],
+                [b for _, b, _ in pts if b > 0],
+                "-o", color=CODE_COLOR[0], linewidth=1.6, markersize=4.5,
+                label="K=15 r=1/4 Fano BER", zorder=3)
+        ax.plot([p for p, _, f in pts if f > 0],
+                [f for _, _, f in pts if f > 0],
+                ":s", color=CODE_COLOR[2], linewidth=1.2, markersize=4,
+                label="K=15 r=1/4 Fano FER", zorder=3)
+    _style_axes(ax, "awgn")
+    ax.set_title("16-QAM extension: K=15 rate-1/4 Fano cliff + uncoded "
+                 "closed-form anchor", color=INK, fontsize=11)
+    ax.legend(loc="best", fontsize=8, framealpha=0.9, facecolor=SURFACE,
+              edgecolor=GRID, labelcolor=INK)
+    out = PLOTS / "awgn_16qam_extension.png"
+    fig.tight_layout()
+    fig.savefig(out, facecolor=SURFACE)
+    plt.close(fig)
+    print("wrote", out)
+
+
 def _family_of(name: str) -> str:
     if name.startswith("uncoded"):
         return "uncoded"
@@ -136,6 +192,8 @@ def main() -> None:
         fig.savefig(out, facecolor=SURFACE)
         plt.close(fig)
         print("wrote", out)
+
+    _plot_16qam_extension(figures)
 
 
 if __name__ == "__main__":
