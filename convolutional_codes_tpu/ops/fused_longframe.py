@@ -297,9 +297,6 @@ def stream_segment_host(code: Code, lane_ids: np.ndarray, seed: int,
     flip draws, float32 expression order — using plain jnp ops.  Returns
     (bits [B, length], dists [B, length, 2^m]).  Used by tests to decode
     the identical stream with the monolithic XLA Viterbi."""
-    from convolutional_codes_tpu.models.constellations import (
-        get_constellation, min_sq_distance)
-
     trellis = build_trellis(code)
     K = code.constraint_length
     M = code.points_per_symbol
