@@ -232,12 +232,21 @@ def _register_builtins() -> None:
         ),
         Code(  # K=15 rate-1/4 on Gray 16-QAM — BASELINE.json config 5
             # (Fano + 16-QAM soft demapper); one coded 4-bit symbol per
-            # channel symbol, so Eb = Es like the reference mapped chains
+            # channel symbol, so Eb = Es like the reference mapped chains.
+            # Soft weights tuned for 6 dB (the convention the reference uses
+            # for its sequential-only code, codebook.c:76-79): the per-symbol
+            # metric 1 + w*dist must stay positive in expectation on the
+            # correct path, and 16-QAM's ndist = 0.4 makes E[dist|correct] =
+            # 2 sigma^2 / 0.4 five times the QPSK value at equal Eb/N0 — the
+            # round-3 defaults (-8/-40) sat so deep that every Fano walk
+            # below 12 dB exhausted its budget (FER = 1.0) and the stack
+            # shed the correct path at 6 dB (BER 0.06 vs 0.001); measured
+            # cliffs with -1.5: Fano clean from 6 dB, stack from ~6 dB.
             name="k15-r14-16qam",
             symlen_out=4, constraint_length=15, block_length=200,
             polynomials=(0o42554, 0o77304, 0o56043, 0o61175),
             bit_metrics=(1, -30), fano_bit_metrics=(1, -48),
-            metric_weight=-8.0, fano_metric_weight=-40.0,
+            metric_weight=-1.5, fano_metric_weight=-1.5,
             parity=PARITY_TRUE,
         ),
     ]

@@ -398,15 +398,16 @@ def _init_state(code: Code, B: int, channel: str):
 def mc_fano(code: Code, lanes: int, frames_per_lane: int, seed, param,
             channel: str = "awgn", demapper: str = "soft",
             timeout_per_bit: int = FANO_TIMEOUT, block_lanes: int = 128,
-            iters_per_dispatch: int = 1 << 19, max_calls: int = 1000000,
+            max_calls: int = 1000000,
             interpret: bool = False, _debug: bool = False):
     """Run ``lanes * frames_per_lane`` Fano-decoded frames fully on-chip.
 
     Returns (bit_errors, frame_errors, bits) Python ints.  The walk per
     frame is bit-exact vs ops/fano (tests); the channel RNG is the
     coordinate hash (distribution-level, SURVEY §2e — same contract as the
-    fused Viterbi chains).  Dispatches are bounded to
-    ``iters_per_dispatch`` micro-steps (backend watchdog, CLAUDE.md).
+    fused Viterbi chains).  Dispatch sizes ramp up to the
+    ``seq_chunking._DISPATCH_BUDGET`` micro-step bound (backend watchdog,
+    CLAUDE.md).
     """
     import time as _time
 
@@ -434,9 +435,13 @@ def mc_fano(code: Code, lanes: int, frames_per_lane: int, seed, param,
             print(f"    [fano_mc] iters={iters} lanes_finished={nfin}/{B} "
                   f"dt={( _time.time()-t0)*1e3:.1f} ms", flush=True)
         if nfin == B:
-            ci = state[2]
-            be = int(jnp.sum(ci[_BERR], dtype=jnp.int64))
-            fe = int(jnp.sum(ci[_FERR], dtype=jnp.int64))
+            # reduce on host in int64: per-lane counters are int32 (fine —
+            # a lane cannot exceed 2^31 errors) but the cross-lane sum can
+            # overflow int32 at large lanes*frames_per_lane, and jnp's
+            # dtype=int64 silently downcasts with x64 disabled
+            ci = np.asarray(state[2])
+            be = int(ci[_BERR].astype(np.int64).sum())
+            fe = int(ci[_FERR].astype(np.int64).sum())
             return be, fe, B * frames_per_lane * code.block_length
         iters = min(iters * 2, max(_REFILL_EVERY,
                                    _DISPATCH_BUDGET // ntiles))

@@ -143,7 +143,13 @@ def _stack_mc_kernel(code: Code, T: int, L: int, Bt: int, channel: str,
             newmask = (slot2d == new[None, :]) & ext[None, :]
             curwr = curmask & ext[None, :]
 
-            # duplicate (input 1) first — from the original's fields
+            # duplicate (input 1) first — from the original's fields.
+            # Alias corner (best slot == worst slot, all live metrics
+            # exactly equal at capacity): the input-0 write wins and
+            # newonly keeps the decoded-bit plane consistent with it —
+            # see ops/stack_pallas.py for the full note on this documented
+            # divergence from the C reference's double-extension.
+            newonly = newmask & jnp.logical_not(curwr)
             bpos = (t & 31).astype(jnp.uint32)
             setbit = jnp.uint32(1) << bpos
             nii_new = (cur_nii + 1)[None, :]
@@ -153,7 +159,7 @@ def _stack_mc_kernel(code: Code, T: int, L: int, Bt: int, channel: str,
                 currow = jnp.sum(jnp.where(curmask, bits_ref[wd], 0), axis=0)
                 sb = jnp.where((t >> 5) == wd, setbit, np.uint32(0))
                 row1 = (currow.astype(jnp.uint32) | sb).astype(jnp.int32)
-                bits_ref[wd] = jnp.where(newmask, row1[None, :],
+                bits_ref[wd] = jnp.where(newonly, row1[None, :],
                                          bits_ref[wd])
             nii2d = jnp.where(newmask, nii_new, nii_ref[:])
             st2d = jnp.where(newmask, st1, st_ref[:])
@@ -351,9 +357,11 @@ def mc_stack(code: Code, lanes: int, frames_per_lane: int, seed, param,
             print(f"    [stack_mc] iters={iters} lanes_finished={nfin}/{B} "
                   f"dt={(_time.time()-t0)*1e3:.1f} ms", flush=True)
         if nfin == B:
-            ci = state[4]
-            be = int(jnp.sum(ci[_BERR], dtype=jnp.int64))
-            fe = int(jnp.sum(ci[_FERR], dtype=jnp.int64))
+            # host int64 reduce (see mc_fano: jnp dtype=int64 downcasts
+            # with x64 disabled; cross-lane totals can exceed int32)
+            ci = np.asarray(state[4])
+            be = int(ci[_BERR].astype(np.int64).sum())
+            fe = int(ci[_FERR].astype(np.int64).sum())
             return be, fe, B * frames_per_lane * code.block_length
         iters = min(iters * 2, max(_REFILL_EVERY,
                                    _DISPATCH_BUDGET // ntiles))

@@ -179,7 +179,20 @@ def _stack_kernel(code: Code, T: int, Bt: int, soft: bool, nwords: int):
                 newmask = (slot2d == new[None, :]) & ext[None, :]
                 curwr = curmask & ext[None, :]
 
-                # duplicate (input 1) first — from the original's fields
+                # duplicate (input 1) first — from the original's fields.
+                # Alias corner (best slot == worst slot): reachable only
+                # when ALL live metrics are exactly equal at capacity, so
+                # first-max and first-min tie-scans pick the same slot.
+                # The C reference then self-copies and extends that one
+                # slot TWICE (input 1 then input 0 of the next symbol —
+                # stack-decoder.c:138-171 with duplicate==original); here
+                # the input-0 write wins (curwr below) and newonly keeps
+                # the decoded-bit plane consistent with it, i.e. the
+                # aliased slot holds one clean input-0 extension.  Never
+                # observed in the 1e5+-frame differential fuzz vs the C
+                # oracle; documented divergence rather than replicating
+                # the double-extension in the hot micro-step.
+                newonly = newmask & jnp.logical_not(curwr)
                 bpos = (t & 31).astype(jnp.uint32)
                 setbit = jnp.uint32(1) << bpos
                 nii_new = (cur_nii + 1)[None, :]
@@ -190,7 +203,7 @@ def _stack_kernel(code: Code, T: int, Bt: int, soft: bool, nwords: int):
                                      axis=0)
                     sb = jnp.where((t >> 5) == wd, setbit, np.uint32(0))
                     row1 = (currow.astype(jnp.uint32) | sb).astype(jnp.int32)
-                    bits_ref[wd] = jnp.where(newmask, row1[None, :],
+                    bits_ref[wd] = jnp.where(newonly, row1[None, :],
                                              bits_ref[wd])
                 nii2d = jnp.where(newmask, nii_new, nii_ref[:])
                 st2d = jnp.where(newmask, st1, st_ref[:])

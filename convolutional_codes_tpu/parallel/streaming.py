@@ -313,7 +313,13 @@ def long_frame_decode_hostseg(code: Code, dists: jnp.ndarray,
             seg_chunks = max(1, min(nchunk - done,
                                     int(target_seg_s / max(per_chunk_s,
                                                            1e-6))))
-            _auto_seg_cache[ck] = seg_chunks
+            if done == 2:
+                # cache only a warm-measured rate: with nchunk == 1 the
+                # single probe chunk pays compile, and caching its
+                # compile-inclusive seg_chunks=1 would silently pin later
+                # long-frame decodes of the same (code, chunk, M, B) to
+                # one-chunk dispatches (~2-5 ms tunnel RTT each)
+                _auto_seg_cache[ck] = seg_chunks
     else:
         if nchunk % segments:
             raise ValueError(f"{nchunk} chunks not divisible into "

@@ -103,7 +103,14 @@ def main(argv=None) -> int:
     if args.jsonl:
         rec.write_jsonl(results, args.jsonl)
     if args.octave:
-        var = f"{args.channel}_{spec.decoder}_{code.name}".replace("-", "_")
+        if args.channel == "uncoded":
+            # uncoded rows run no decoder and ignore the code tables — name
+            # the export from the record fields (uncoded-{m}bit / argmin),
+            # not the coded spec, so curve tooling keyed on names cannot
+            # mistake it for a coded curve
+            var = f"uncoded_{code.symlen_out}bit_argmin"
+        else:
+            var = f"{args.channel}_{spec.decoder}_{code.name}".replace("-", "_")
         rec.write_octave([(var, results)], args.octave)
     return 0
 

@@ -56,7 +56,13 @@ def _load() -> Optional[ctypes.CDLL]:
     if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
         os.makedirs(_BUILD_DIR, exist_ok=True)
         cc = os.environ.get("CC", "gcc")
-        cmd = [cc, "-O3", "-shared", "-fPIC", "-o", _LIB, _SRC, "-lm"]
+        # -ffp-contract=off: the soft stack/Fano metrics compute
+        # 1.0f + w*dist and the golden contract rounds the product BEFORE
+        # the add (see ops/sequential_common.force_rounded).  Toolchains
+        # that contract onto FMA by default (aarch64 gcc, clang) would
+        # otherwise make this oracle deviate from golden_model.py.
+        cmd = [cc, "-O3", "-ffp-contract=off", "-shared", "-fPIC",
+               "-o", _LIB, _SRC, "-lm"]
         try:
             subprocess.run(cmd, check=True, capture_output=True)
         except (OSError, subprocess.CalledProcessError):

@@ -74,8 +74,12 @@ def _plot_16qam_extension(figures):
 
     fano = RESULTS / "awgn_fano_16qam.jsonl"
     unc = RESULTS / "uncoded_4.jsonl"
-    if not (fano.exists() or unc.exists()):
-        return
+    missing = [p.name for p in (fano, unc) if not p.exists()]
+    if missing:
+        # loud, not silent: every published config must have its grid
+        # committed (round-3 verdict: this skip hid a missing flagship file)
+        raise FileNotFoundError(
+            f"16-QAM extension grids missing from results/: {missing}")
     fig, ax = plt.subplots(figsize=(7.2, 5.4), dpi=150)
     fig.patch.set_facecolor(SURFACE)
     if unc.exists():

@@ -225,6 +225,15 @@ CONFIGS = {
        for c, i in zip("abcde", [0, 1, 2, 3, 5])},
     "uncoded_2": (dict(code=0, channel="uncoded"), "ber_uncoded_2", "awgn"),
     "uncoded_3": (dict(code=5, channel="uncoded"), "ber_uncoded_3", "awgn"),
+    # Framework-extension grids (16-QAM, BASELINE.json config 5): no
+    # published reference rows exist (the reference stops at 8-QAM,
+    # constellations.c:6-32) — row=None skips the z-compare; the anchors
+    # are the uncoded closed form (tests/test_results_artifacts.py) and
+    # the Fano cliff artifact test.
+    "uncoded_4": (dict(code="k15-r14-16qam", channel="uncoded"), None, "awgn"),
+    "awgn_fano_16qam": (dict(code="k15-r14-16qam", channel="awgn",
+                             decoder="fano", frames_per_step=16384),
+                        None, "awgn"),
     # Sequential decoders: the FULL published grids (awgn_channel.m:36-78,
     # binary_symmetric_channel.m:17-42) at reference tier sample sizes and
     # the reference Fano budget TIMEOUT=10000 (AWGN-channel/fano-decoder.c:14).
@@ -299,8 +308,16 @@ def main():
             ckpt = str(RESULTS / f"{name}{sfx}.ckpt.json")
             records = run_sweep(spec, verbose=True, checkpoint_path=ckpt)
             rec.write_jsonl(records, str(RESULTS / f"{name}.jsonl"))
-            rec.write_octave([(name, records)], str(RESULTS / f"{name}.m"))
-        lines, worst = compare(records, channel, row)
+            # uncoded exports are named from the record fields, not the
+            # coded spec (no decoder runs on those rows)
+            var = name
+            if records and getattr(records[0], "decoder", "") == "argmin":
+                var = f"{records[0].code.replace('-', '_')}_argmin"
+            rec.write_octave([(var, records)], str(RESULTS / f"{name}.m"))
+        if row is None:
+            lines, worst = ["  (extension config — no published row)"], 0.0
+        else:
+            lines, worst = compare(records, channel, row)
         print("\n".join(lines), flush=True)
         agg = aggregate_bits_per_s(records)
         summary.append((name, worst, agg))
