@@ -78,7 +78,7 @@ def _fano_mc_kernel(code: Code, T: int, L: int, Bt: int, channel: str,
         wrong = int(code.fano_bit_metrics[1])
     tpbT = int(timeout_per_bit) * T
 
-    def kernel(iters_ref, seed_ref, param_ref, fpl_ref,
+    def kernel(iters_ref, seed_ref, param_ref, fpl_ref, lane0_ref,
                ni_in, nf_in, ci_in, cf_in, syms_in, bits_in,
                ni_ref, nf_ref, ci_ref, cf_ref, syms_ref, bits_ref):
         ni_ref[:] = ni_in[:]
@@ -93,8 +93,12 @@ def _fano_mc_kernel(code: Code, T: int, L: int, Bt: int, channel: str,
         fpl = fpl_ref[0]          # frames per lane: dynamic, so one
                                   # executable serves every sweep tier
         row2d = jax.lax.broadcasted_iota(jnp.int32, (T, Bt), 0)
+        # lane0: global lane offset of this device's shard — under the
+        # frames-axis shard_map (mc_fano_grid) each device covers a
+        # distinct block of the SAME global lane/frame-id space, so a
+        # sharded run is bit-identical to the serial same-seed run
         lane2d = (jax.lax.broadcasted_iota(jnp.int32, (T, Bt), 1)
-                  + Bt * pl.program_id(0))
+                  + Bt * pl.program_id(0) + lane0_ref[0])
         live2d = row2d < L
 
         def rowmask(idx):
@@ -319,8 +323,10 @@ def _fano_mc_kernel(code: Code, T: int, L: int, Bt: int, channel: str,
 
 
 @functools.lru_cache(maxsize=None)
-def _fano_mc_call(code: Code, B: int, Bt: int, channel: str, demapper: str,
-                  timeout_per_bit: int, interpret: bool):
+def _fano_mc_pallas(code: Code, B: int, Bt: int, channel: str, demapper: str,
+                    timeout_per_bit: int, interpret: bool):
+    """The raw pallas_call over ``B`` lanes (``B`` is the *local* lane count
+    when the call runs under a shard_map — parallel/seq_grid.py)."""
     T = code.num_block_symbols
     L = code.block_length
     M = code.points_per_symbol
@@ -355,10 +361,10 @@ def _fano_mc_call(code: Code, B: int, Bt: int, channel: str, demapper: str,
         sym_shape,
         jax.ShapeDtypeStruct((T, B), jnp.int32),
     ]
-    call = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(B // Bt,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 4 + state_specs,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 5 + state_specs,
         out_specs=state_specs,
         out_shape=state_shapes,
         interpret=interpret,
@@ -368,9 +374,16 @@ def _fano_mc_call(code: Code, B: int, Bt: int, channel: str, demapper: str,
             vmem_limit_bytes=100 * 1024 * 1024),
     )
 
+
+@functools.lru_cache(maxsize=None)
+def _fano_mc_call(code: Code, B: int, Bt: int, channel: str, demapper: str,
+                  timeout_per_bit: int, interpret: bool):
+    call = _fano_mc_pallas(code, B, Bt, channel, demapper, timeout_per_bit,
+                           interpret)
+
     @jax.jit
-    def step(iters, seed, param, fpl, state):
-        out = call(iters, seed, param, fpl, *state)
+    def step(iters, seed, param, fpl, lane0, state):
+        out = call(iters, seed, param, fpl, lane0, *state)
         fin = (out[2][_ALLDN] > 0).astype(jnp.int32)
         return out, fin.sum()
 
@@ -398,7 +411,7 @@ def _init_state(code: Code, B: int, channel: str):
 def mc_fano(code: Code, lanes: int, frames_per_lane: int, seed, param,
             channel: str = "awgn", demapper: str = "soft",
             timeout_per_bit: int = FANO_TIMEOUT, block_lanes: int = 128,
-            max_calls: int = 1000000,
+            max_calls: int = 1000000, lane0: int = 0,
             interpret: bool = False, _debug: bool = False):
     """Run ``lanes * frames_per_lane`` Fano-decoded frames fully on-chip.
 
@@ -421,6 +434,7 @@ def mc_fano(code: Code, lanes: int, frames_per_lane: int, seed, param,
     seed_a = jnp.asarray([int(seed) & 0x7FFFFFFF], jnp.int32)
     param_a = jnp.asarray([param], jnp.float32)
     fpl_a = jnp.asarray([frames_per_lane], jnp.int32)
+    lane0_a = jnp.asarray([int(lane0)], jnp.int32)
     ntiles = B // Bt
     # ramp like seq_chunking: small first dispatch, then budget-bounded
     from convolutional_codes_tpu.ops.seq_chunking import _DISPATCH_BUDGET
@@ -428,7 +442,7 @@ def mc_fano(code: Code, lanes: int, frames_per_lane: int, seed, param,
     for _ in range(max_calls):
         t0 = _time.time()
         state, nfin = step(jnp.asarray([iters], jnp.int32), seed_a, param_a,
-                           fpl_a, state)
+                           fpl_a, lane0_a, state)
         state = list(state)
         nfin = int(nfin)
         if _debug:

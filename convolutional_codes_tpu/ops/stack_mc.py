@@ -56,7 +56,7 @@ def _stack_mc_kernel(code: Code, T: int, L: int, Bt: int, channel: str,
     else:
         correct, wrong = int(code.bit_metrics[0]), int(code.bit_metrics[1])
 
-    def kernel(iters_ref, seed_ref, param_ref, fpl_ref,
+    def kernel(iters_ref, seed_ref, param_ref, fpl_ref, lane0_ref,
                nii_in, st_in, met_in, bits_in, ci_in, syms_in, tx_in,
                nii_ref, st_ref, met_ref, bits_ref, ci_ref, syms_ref, tx_ref):
         nii_ref[:] = nii_in[:]
@@ -72,8 +72,10 @@ def _stack_mc_kernel(code: Code, T: int, L: int, Bt: int, channel: str,
         fpl = fpl_ref[0]
         slot2d = jax.lax.broadcasted_iota(jnp.int32, (D, Bt), 0)
         row2d = jax.lax.broadcasted_iota(jnp.int32, (T, Bt), 0)
+        # lane0: global lane offset of this device's shard (see
+        # ops/fano_mc.py — sharded runs are bit-identical to serial ones)
         lane2d = (jax.lax.broadcasted_iota(jnp.int32, (T, Bt), 1)
-                  + Bt * pl.program_id(0))
+                  + Bt * pl.program_id(0) + lane0_ref[0])
         live2d = row2d < L
 
         def first_of(pred2d):
@@ -246,8 +248,10 @@ def _stack_mc_kernel(code: Code, T: int, L: int, Bt: int, channel: str,
 
 
 @functools.lru_cache(maxsize=None)
-def _stack_mc_call(code: Code, B: int, Bt: int, channel: str, demapper: str,
-                   interpret: bool):
+def _stack_mc_pallas(code: Code, B: int, Bt: int, channel: str,
+                     demapper: str, interpret: bool):
+    """The raw pallas_call over ``B`` lanes (``B`` is the *local* lane count
+    when the call runs under a shard_map — parallel/seq_grid.py)."""
     T = code.num_block_symbols
     L = code.block_length
     M = code.points_per_symbol
@@ -284,10 +288,10 @@ def _stack_mc_call(code: Code, B: int, Bt: int, channel: str, demapper: str,
         sym_shape,
         jax.ShapeDtypeStruct((T, B), jnp.int32),
     ]
-    call = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(B // Bt,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 4 + state_specs,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 5 + state_specs,
         out_specs=state_specs,
         out_shape=state_shapes,
         interpret=interpret,
@@ -295,9 +299,15 @@ def _stack_mc_call(code: Code, B: int, Bt: int, channel: str, demapper: str,
             vmem_limit_bytes=100 * 1024 * 1024),
     )
 
+
+@functools.lru_cache(maxsize=None)
+def _stack_mc_call(code: Code, B: int, Bt: int, channel: str, demapper: str,
+                   interpret: bool):
+    call = _stack_mc_pallas(code, B, Bt, channel, demapper, interpret)
+
     @jax.jit
-    def step(iters, seed, param, fpl, state):
-        out = call(iters, seed, param, fpl, *state)
+    def step(iters, seed, param, fpl, lane0, state):
+        out = call(iters, seed, param, fpl, lane0, *state)
         fin = (out[4][_ALLDN] > 0).astype(jnp.int32)
         return out, fin.sum()
 
@@ -325,7 +335,7 @@ def _init_state(code: Code, B: int, channel: str):
 def mc_stack(code: Code, lanes: int, frames_per_lane: int, seed, param,
              channel: str = "awgn", demapper: str = "soft",
              block_lanes: int = 128, max_calls: int = 1000000,
-             interpret: bool = False, _debug: bool = False):
+             lane0: int = 0, interpret: bool = False, _debug: bool = False):
     """Run ``lanes * frames_per_lane`` stack-decoded frames fully on-chip.
 
     Returns (bit_errors, frame_errors, bits) Python ints.  Per-frame
@@ -345,12 +355,13 @@ def mc_stack(code: Code, lanes: int, frames_per_lane: int, seed, param,
     seed_a = jnp.asarray([int(seed) & 0x7FFFFFFF], jnp.int32)
     param_a = jnp.asarray([param], jnp.float32)
     fpl_a = jnp.asarray([frames_per_lane], jnp.int32)
+    lane0_a = jnp.asarray([int(lane0)], jnp.int32)
     ntiles = B // Bt
     iters = max(_REFILL_EVERY * 4, min(8192, _DISPATCH_BUDGET // ntiles))
     for _ in range(max_calls):
         t0 = _time.time()
         state, nfin = step(jnp.asarray([iters], jnp.int32), seed_a, param_a,
-                           fpl_a, state)
+                           fpl_a, lane0_a, state)
         state = list(state)
         nfin = int(nfin)
         if _debug:

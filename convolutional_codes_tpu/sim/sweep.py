@@ -326,14 +326,18 @@ def run_sweep(spec: SweepSpec, mesh=None, checkpoint_path: Optional[str] = None,
     seq_host = (spec.decoder in ("stack", "fano")
                 and spec.channel != "uncoded"
                 and jax.default_backend() == "tpu")
-    # Fano on TPU: the fused MC kernel with in-kernel lane refill
-    # (ops/fano_mc.py) — 3-4x the compaction-driven path; channel RNG is
-    # the coordinate hash (distribution-level, same contract as the fused
-    # Viterbi chains).  CONVCODES_NO_FANO_MC=1 forces the legacy path.
+    # Sequential decoders on TPU: the fused MC kernels with in-kernel lane
+    # refill (ops/fano_mc.py, ops/stack_mc.py) — several times the
+    # compaction-driven path; channel RNG is the coordinate hash
+    # (distribution-level, same contract as the fused Viterbi chains).
+    # CONVCODES_NO_FANO_MC=1 / CONVCODES_NO_STACK_MC=1 force the legacy
+    # pool path.
     import os as _os
-    fano_mc_hw = (seq_host and spec.decoder == "fano"
-                  and code.num_block_symbols * code.points_per_symbol <= 1024
-                  and not _os.environ.get("CONVCODES_NO_FANO_MC"))
+    _no_mc_env = ("CONVCODES_NO_FANO_MC" if spec.decoder == "fano"
+                  else "CONVCODES_NO_STACK_MC")
+    seq_mc_hw = (seq_host
+                 and code.num_block_symbols * code.points_per_symbol <= 1024
+                 and not _os.environ.get(_no_mc_env))
     # (big T*M codes — e.g. K=15 + 16-QAM — stay on the compaction-pool
     # path: the in-kernel refill's datagen planes scale with T*M and
     # outweigh the utilization gain there, measured round 3)
@@ -375,6 +379,15 @@ def run_sweep(spec: SweepSpec, mesh=None, checkpoint_path: Optional[str] = None,
         target_bits = int(spec.bits_per_point or tier(point))
         nsteps = max(1, -(-target_bits // bits_per_call))
         pending.append((i, point, to_param(point), nsteps))
+
+    def seq_plan(point):
+        """(global lanes, frames per lane) for a sequential MC point —
+        shared by the serial and mesh-sharded legs so both cover the same
+        frame-id space (bit-identical counters)."""
+        target_bits = int(spec.bits_per_point or tier(point))
+        lanes = 8192 if target_bits >= 8192 * frame_bits else 1024
+        fpl = max(1, -(-target_bits // (lanes * frame_bits)))
+        return lanes, fpl
 
     # ---- sweep×frames grid batches (SURVEY §2e sweep parallelism) --------
     # Points with equal step counts run concurrently across the `sweep`
@@ -435,28 +448,77 @@ def run_sweep(spec: SweepSpec, mesh=None, checkpoint_path: Optional[str] = None,
             serial_rest.extend(group)
         pending = sorted(serial_rest)
 
+    # ---- sequential MC kernels on the mesh (SURVEY §2e data + sweep
+    # parallelism for the dominant-cost decoders): points with identical
+    # (lanes, fpl) plans run as groups of R across the whole mesh, each
+    # point's global lane set split into per-device blocks with lane0
+    # offsets — counters are bit-identical to the serial seq_mc leg below
+    # (parallel/seq_grid.py, tests/test_seq_grid.py).
+    seq_ndev = (int(np.prod(list(mesh.shape.values())))
+                if mesh is not None else 1)
+    if seq_mc_hw and seq_ndev > 1:
+        from convolutional_codes_tpu.parallel.seq_grid import seq_mc_grid
+        by_plan = {}
+        for item in pending:
+            by_plan.setdefault(seq_plan(item[1]), []).append(item)
+        pending = []
+        for (lanes, fpl), group in sorted(by_plan.items()):
+            while group:
+                R = 1
+                for d in range(min(len(group), seq_ndev), 0, -1):
+                    if seq_ndev % d == 0 and lanes % (seq_ndev // d) == 0:
+                        R = d
+                        break
+                batch_items, group = group[:R], group[R:]
+                seeds = [(spec.seed * 1000003 + it[0] * 7919) & 0x7FFFFFFF
+                         for it in batch_items]
+                prms = [it[2] for it in batch_items]
+                kw = dict(channel=spec.channel, demapper=spec.demapper)
+                if spec.decoder == "fano":
+                    kw["timeout_per_bit"] = spec.timeout_per_bit
+                t0 = time.time()
+                with annotate("seq_grid_batch"):
+                    # cold slice pays compile; remainder is the warm rate
+                    be, fe, nb = seq_mc_grid(spec.decoder, code, lanes, 1,
+                                             seeds, prms, mesh, **kw)
+                    wb = np.zeros(R, np.int64)
+                    ww = 0.0
+                    if fpl > 1:
+                        tw = time.time()
+                        b2, f2, n2 = seq_mc_grid(
+                            spec.decoder, code, lanes, fpl - 1,
+                            [s ^ 0x2A5A5A5A for s in seeds], prms, mesh,
+                            **kw)
+                        ww = time.time() - tw
+                        be = be + b2; fe = fe + f2; nb = nb + n2; wb = n2
+                wall = (time.time() - t0) / R    # concurrent: amortized
+                for r, (i, point, param, _) in enumerate(batch_items):
+                    finish_point(i, point, param, int(be[r]), int(fe[r]),
+                                 int(nb[r]), wall, int(wb[r]), ww / R)
+
     for i, point, param, nsteps in pending:
         pkey = jax.random.fold_in(key, i)
-        if fano_mc_hw:
-            from convolutional_codes_tpu.ops.fano_mc import mc_fano
-            target_bits = int(spec.bits_per_point or tier(point))
-            lanes = 8192 if target_bits >= 8192 * frame_bits else 1024
-            fpl = max(1, -(-target_bits // (lanes * frame_bits)))
+        if seq_mc_hw:
+            if spec.decoder == "fano":
+                from convolutional_codes_tpu.ops.fano_mc import mc_fano as mc
+                kw = dict(channel=spec.channel, demapper=spec.demapper,
+                          timeout_per_bit=spec.timeout_per_bit)
+            else:
+                from convolutional_codes_tpu.ops.stack_mc import mc_stack as mc
+                kw = dict(channel=spec.channel, demapper=spec.demapper)
+            lanes, fpl = seq_plan(point)
             seed_i = (spec.seed * 1000003 + i * 7919) & 0x7FFFFFFF
             t0 = time.time()
             pt_trace = (f"{spec.trace_dir}/point_{point:g}"
                         if spec.trace_dir else None)
             with trace(pt_trace), annotate(f"sweep_point_{point:g}"):
-                kw = dict(channel=spec.channel, demapper=spec.demapper,
-                          timeout_per_bit=spec.timeout_per_bit)
                 # cold slice pays compile; remainder is the warm rate
-                be, fe, nb = mc_fano(code, lanes, min(1, fpl), seed_i,
-                                     param, **kw)
+                be, fe, nb = mc(code, lanes, 1, seed_i, param, **kw)
                 wb = ww = 0
                 if fpl > 1:
                     tw = time.time()
-                    b2, f2, n2 = mc_fano(code, lanes, fpl - 1,
-                                         seed_i ^ 0x2A5A5A5A, param, **kw)
+                    b2, f2, n2 = mc(code, lanes, fpl - 1,
+                                    seed_i ^ 0x2A5A5A5A, param, **kw)
                     ww = time.time() - tw
                     be += b2; fe += f2; nb += n2; wb = n2
             finish_point(i, point, param, be, fe, nb, time.time() - t0,
