@@ -204,8 +204,8 @@ def _bench_seq(code_key, decoder, metric, snr_db, baseline, B=131072,
     from convolutional_codes_tpu.sim.sweep import (
         SweepSpec, _sequential_host_accumulate)
 
-    code = get_code(code_key)
-    spec = SweepSpec(code=code_key, channel="awgn", decoder=decoder,
+    code = _resolve_code(code_key)
+    spec = SweepSpec(code=code, channel="awgn", decoder=decoder,
                      demapper="soft", frames_per_step=B,
                      timeout_per_bit=timeout)
     param = float(awgn_sigma(snr_db))
@@ -255,15 +255,19 @@ def _bench_streaming_per_chip(metric, B=128, T=16384, snr_db=4.0, calls=3):
     _emit(metric, calls * B * L, dt, None, backend="pallas_shard_map")
 
 
+def _resolve_code(code_key):
+    return code_key if not isinstance(code_key, (int, str)) else get_code(code_key)
+
+
 def _bench_fano_mc(code_key, metric, snr_db, baseline, lanes=1024, fpl=64,
-                   timeout=10000):
+                   timeout=10000, **extra):
     """Fano rows via the fused MC kernel with in-kernel lane refill
     (ops/fano_mc.py): a finished lane banks its counts and hash-generates
     its next frame inside the kernel, so the lockstep tile pays per-lane
     mean work, not the max of 128 single-frame walks."""
     from convolutional_codes_tpu.ops.fano_mc import mc_fano
 
-    code = get_code(code_key)
+    code = _resolve_code(code_key)
     param = float(awgn_sigma(snr_db))
     mc_fano(code, lanes, fpl, 1, param, block_lanes=128,
             timeout_per_bit=timeout)                       # compile + warm
@@ -272,7 +276,23 @@ def _bench_fano_mc(code_key, metric, snr_db, baseline, lanes=1024, fpl=64,
                          timeout_per_bit=timeout)
     dt = time.time() - t0
     _emit(metric, nb, dt, baseline, snr_db=snr_db, ber=be / nb,
-          frames=lanes * fpl)
+          frames=lanes * fpl, **extra)
+
+
+def _bench_stack_mc(code_key, metric, snr_db, baseline, lanes=1024, fpl=64,
+                    **extra):
+    """Stack rows via the fused MC kernel (ops/stack_mc.py) — the
+    production sweep path for T*M <= 1024 stack configs since round 4."""
+    from convolutional_codes_tpu.ops.stack_mc import mc_stack
+
+    code = _resolve_code(code_key)
+    param = float(awgn_sigma(snr_db))
+    mc_stack(code, lanes, fpl, 1, param, block_lanes=128)  # compile + warm
+    t0 = time.time()
+    be, fe, nb = mc_stack(code, lanes, fpl, 4242, param, block_lanes=128)
+    dt = time.time() - t0
+    _emit(metric, nb, dt, baseline, snr_db=snr_db, ber=be / nb,
+          frames=lanes * fpl, **extra)
 
 
 def _bench_acs(code_key, metric, B=262144, nsteps=8):
@@ -327,15 +347,34 @@ def bench_all():
     # per-chip rate of the multi-chip streaming shard body (Pallas ACS
     # under shard_map; scales along the seq axis on a pod slice)
     _bench_streaming_per_chip("awgn_k7_streaming_shard_per_chip")
-    # config 3: stack on K=9, AWGN soft
-    _bench_seq("k9-r12", "stack", "awgn_stack_k9_soft", 8.0, 1.4e5)
-    # flagship-code sequential rows
-    _bench_seq(0, "stack", "awgn_stack_k3_soft", 8.0, 1.4e5)
-    _bench_fano_mc(0, "awgn_fano_k3_soft", 8.0, 7.1e3, lanes=1024, fpl=128)
+    # Sequential rows.  Baselines are HONEST same-config same-SNR rates of
+    # the freshly compiled C chain on one Xeon core — measured via
+    # tools/bench_reference_ext.py (results/reference_fresh_awgn_ext.json);
+    # round 3 wrongly normalized the K=9/K=15 rows by the K=3 core's rate.
+    # The C parity routine is the compat quirk (SURVEY §2c), which REWIRES
+    # the extension codes (quirk taps hit the K=9/K=15 polynomials), so
+    # ratio rows run parity=compat on BOTH sides; the true-parity
+    # production rows carry no C baseline (the reference cannot express
+    # those codes).
+    from convolutional_codes_tpu.models.codebook import PARITY_COMPAT
+
+    # config 3: stack on K=9, AWGN soft — production MC kernel path
+    _bench_stack_mc("k9-r12", "awgn_stack_k9_soft", 8.0, None, fpl=192)
+    _bench_stack_mc(get_code("k9-r12").replace(parity=PARITY_COMPAT),
+                    "awgn_stack_k9_soft_compat_vs_c", 8.0, 3.96e5, fpl=64,
+                    parity="compat")
+    # flagship-code sequential rows (code 0 is quirk-free: compat == true)
+    _bench_stack_mc(0, "awgn_stack_k3_soft", 8.0, 4.12e6, fpl=256)
+    # pool-path stack row kept for the measured MC-vs-pool comparison
+    _bench_seq(0, "stack", "awgn_stack_k3_soft_pool", 8.0, 4.12e6)
+    _bench_fano_mc(0, "awgn_fano_k3_soft", 8.0, 7.22e5, lanes=1024, fpl=128)
     # config 4: fano on K=15 + 16-QAM soft demapper (compaction-pool path:
     # at T*M = 214*16 the in-kernel refill's datagen outweighs its
     # utilization gain, so the pool kernel stays faster here)
-    _bench_seq("k15-r14-16qam", "fano", "awgn_fano_k15_16qam", 14.0, 7.1e3,
+    _bench_seq("k15-r14-16qam", "fano", "awgn_fano_k15_16qam", 14.0, None,
+               B=4096)
+    _bench_seq(get_code("k15-r14-16qam").replace(parity=PARITY_COMPAT),
+               "fano", "awgn_fano_k15_16qam_compat_vs_c", 14.0, 1.11e6,
                B=4096)
 
 

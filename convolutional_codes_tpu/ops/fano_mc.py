@@ -36,7 +36,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from convolutional_codes_tpu.models.codebook import Code
-from convolutional_codes_tpu.models.trellis import build_trellis
 from convolutional_codes_tpu.ops.fano import FANO_TIMEOUT, FANO_DELTA
 from convolutional_codes_tpu.ops.mc_datagen import frames_host, make_datagen
 from convolutional_codes_tpu.ops.stack_pallas import _make_branch
@@ -63,12 +62,11 @@ _FMAX = np.float32(3.4028235e38)
 
 def _fano_mc_kernel(code: Code, T: int, L: int, Bt: int, channel: str,
                     demapper: str, timeout_per_bit: int):
-    trellis = build_trellis(code)
     M = code.points_per_symbol
     symlen = code.symlen_out
     K = code.constraint_length
     branch = _make_branch(code)
-    datagen = make_datagen(trellis, T, L, channel, demapper)
+    datagen = make_datagen(code, T, L, channel, demapper)
     delta = float(FANO_DELTA)
     soft = channel == "awgn"
     if soft:

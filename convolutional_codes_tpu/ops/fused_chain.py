@@ -137,11 +137,12 @@ def _rand_uniform(shape, interpret, sbase, salt):
     return _uniform_from_bits(pltpu.prng_random_bits(shape))
 
 
-def _stage_fns(trellis: Trellis):
+def _stage_fns(code):
     """Elementwise stage helpers shared by both kernel schedules: they work
     unchanged on ``(Bt,)`` rows (loop kernel) and ``(T, Bt)`` planes (bulk
-    kernel) — same expressions, so same float results."""
-    code = trellis.code
+    kernel) — same expressions, so same float results.  Takes a bare
+    :class:`Code` (no dense trellis — the big-K sequential codes like WSPR
+    K=32 have no enumerable state table)."""
     M = code.points_per_symbol
     symlen = code.symlen_out
     points = get_constellation(symlen)
@@ -351,7 +352,7 @@ def _mc_kernel(trellis: Trellis, T: int, L: int, Bt: int,
         raise NotImplementedError(
             f"fused MC kernel supports up to {_FUSED_MAX_STATES} states "
             f"(K <= 9); got {S}")
-    esym_of, hard_dists, tx_select, dist_vec, snap = _stage_fns(trellis)
+    esym_of, hard_dists, tx_select, dist_vec, snap = _stage_fns(trellis.code)
     acs_step, init_metrics, argmin_lanes, make_tb, nwords = _acs_fns(
         trellis, T, L, Bt, hard=channel == "bsc", matmul=use_matmul)
     symlen = code.symlen_out
@@ -458,7 +459,7 @@ def _mc_kernel_bulk(trellis: Trellis, T: int, L: int, Bt: int,
         raise NotImplementedError(
             f"fused MC kernel supports up to {_FUSED_MAX_STATES} states "
             f"(K <= 9); got {S}")
-    esym_of, hard_dists, tx_select, dist_vec, snap = _stage_fns(trellis)
+    esym_of, hard_dists, tx_select, dist_vec, snap = _stage_fns(trellis.code)
     acs_step, init_metrics, argmin_lanes, make_tb, nwords = _acs_fns(
         trellis, T, L, Bt, hard=channel == "bsc", matmul=use_matmul)
     symlen = code.symlen_out

@@ -101,7 +101,7 @@ def _mc_longframe_kernel(trellis: Trellis, Tw: int, W: int, Bt: int,
             f"fused long-frame kernel supports up to {_FUSED_MAX_STATES} "
             f"states (K <= 9); got {S}")
     Wn = Tw - 2 * W
-    esym_of, hard_dists, tx_select, dist_vec, snap = _stage_fns(trellis)
+    esym_of, hard_dists, tx_select, dist_vec, snap = _stage_fns(trellis.code)
     # L is unused by the pieces we take (we build our own traceback)
     acs_step, _, argmin_lanes, _, nwords = _acs_fns(
         trellis, Tw, Wn, Bt, hard=channel == "bsc", matmul=use_matmul)
@@ -312,7 +312,7 @@ def stream_segment_host(code: Code, lane_ids: np.ndarray, seed: int,
     reg = jnp.zeros((barr.shape[0], length), jnp.uint32)
     for j in range(K):
         reg = reg | (barr[:, K - 1 - j: K - 1 - j + length] << (K - 1 - j))
-    esym_of, hard_dists, tx_select, dist_vec, snap = _stage_fns(trellis)
+    esym_of, hard_dists, tx_select, dist_vec, snap = _stage_fns(trellis.code)
     esym = esym_of(reg)
 
     ppos = pos[:, K - 1:]

@@ -17,13 +17,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from convolutional_codes_tpu.models.codebook import Code
-from convolutional_codes_tpu.models.trellis import Trellis, build_trellis
 from convolutional_codes_tpu.ops.fused_chain import _stage_fns
 from convolutional_codes_tpu.ops.fused_longframe import (
     _TWO_PI, coord_bits, coord_uniform)
 
 
-def make_datagen(trellis: Trellis, T: int, L: int, channel: str,
+def make_datagen(code: Code, T: int, L: int, channel: str,
                  demapper: str):
     """Returns ``gen(gid, row, seed, param) -> (bits, syms)``.
 
@@ -34,11 +33,10 @@ def make_datagen(trellis: Trellis, T: int, L: int, channel: str,
     trailing/leading M axis matching the input layout) or received
     symbols (BSC).
     """
-    code = trellis.code
     K = code.constraint_length
     symlen = code.symlen_out
     soft = channel == "awgn"
-    esym_of, hard_dists, tx_select, dist_vec, snap = _stage_fns(trellis)
+    esym_of, hard_dists, tx_select, dist_vec, snap = _stage_fns(code)
 
     def gen(gid, row, seed, param, taxis: int, stack_axis: int):
         """``taxis``: which axis of the broadcast result runs over symbol
@@ -92,9 +90,8 @@ def frames_host(code: Code, gids: np.ndarray, seed: int, param: float,
     """Host replica: the exact (bits [N, L+K-1... T], syms) frames a
     sequential MC kernel generates for global frame ids ``gids`` — decode
     them with the XLA machines to cross-check kernel error counts."""
-    trellis = build_trellis(code)
     T = code.num_block_symbols
-    gen = make_datagen(trellis, T, code.block_length, channel, demapper)
+    gen = make_datagen(code, T, code.block_length, channel, demapper)
     g = jnp.asarray(gids, jnp.int32)[:, None]
     t = jnp.arange(T)[None, :]
     bits, syms = gen(g, t, jnp.uint32(int(seed) & 0x7FFFFFFF),

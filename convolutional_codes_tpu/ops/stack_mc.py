@@ -24,7 +24,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from convolutional_codes_tpu.models.codebook import Code
-from convolutional_codes_tpu.models.trellis import build_trellis
 from convolutional_codes_tpu.ops.mc_datagen import frames_host, make_datagen
 from convolutional_codes_tpu.ops.stack import STACK_DEPTH
 from convolutional_codes_tpu.ops.stack_pallas import _make_branch
@@ -48,8 +47,7 @@ def _stack_mc_kernel(code: Code, T: int, L: int, Bt: int, channel: str,
     symlen = code.symlen_out
     K = code.constraint_length
     branch = _make_branch(code)
-    trellis = build_trellis(code)
-    datagen = make_datagen(trellis, T, L, channel, demapper)
+    datagen = make_datagen(code, T, L, channel, demapper)
     soft = channel == "awgn"
     if soft:
         w = float(code.metric_weight)

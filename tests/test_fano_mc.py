@@ -18,17 +18,21 @@ from convolutional_codes_tpu.ops.fano import fano_decode_soft, fano_decode_hard
 from convolutional_codes_tpu.ops.fano_mc import mc_fano, fano_frames_host
 
 CASES = [
-    # (code, channel, param, demapper, timeout_per_bit)
-    (0, "awgn", float(awgn_sigma(2.0)), "soft", 40),    # timeout-rich
-    (0, "bsc", 0.05, "soft", 60),                       # hard metrics
-    (5, "awgn", float(awgn_sigma(3.0)), "soft", 50),    # rate 1/3, M=8
+    # (code, channel, param, demapper, timeout_per_bit, frames_per_lane)
+    (0, "awgn", float(awgn_sigma(2.0)), "soft", 40, 2),  # timeout-rich
+    (0, "bsc", 0.05, "soft", 60, 2),                     # hard metrics
+    (5, "awgn", float(awgn_sigma(3.0)), "soft", 50, 2),  # rate 1/3, M=8
+    # production-routed configs the sweep sends through mc_fano:
+    (4, "awgn", float(awgn_sigma(5.0)), "soft", 25, 1),  # WSPR K=32, quirk P1
+    (4, "bsc", 0.02, "soft", 30, 1),                     # WSPR hard metrics
+    (0, "awgn", float(awgn_sigma(4.0)), "hard", 40, 2),  # hard demapper
 ]
 
 
-@pytest.mark.parametrize("ck,channel,param,dem,tpb", CASES)
-def test_counts_match_xla_machine(ck, channel, param, dem, tpb):
+@pytest.mark.parametrize("ck,channel,param,dem,tpb,fpl", CASES)
+def test_counts_match_xla_machine(ck, channel, param, dem, tpb, fpl):
     code = get_code(ck)
-    lanes, fpl = 64, 2
+    lanes = 64
     be, fe, nb = mc_fano(code, lanes, fpl, 42, param, channel=channel,
                          demapper=dem, timeout_per_bit=tpb,
                          block_lanes=64, interpret=True)

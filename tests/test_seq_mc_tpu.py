@@ -1,0 +1,71 @@
+"""TPU-only equality probes for the sequential MC kernels.
+
+The interpret-mode suite (tests/test_fano_mc.py, test_stack_mc.py) proves
+the machines; these runs prove the SAME equality on real hardware — Mosaic
+compilation, the TPU float pipeline (FMA contraction is the known hazard,
+see sequential_common.force_rounded) and the in-kernel coordinate-hash
+datagen must reproduce the XLA machines' counts bit-for-bit on chip:
+
+  CONVCODES_TEST_TPU=1 python -m pytest tests/test_seq_mc_tpu.py -q
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from convolutional_codes_tpu.models.codebook import get_code
+from convolutional_codes_tpu.ops.channels import awgn_sigma
+from convolutional_codes_tpu.ops.fano import fano_decode_soft
+from convolutional_codes_tpu.ops.fano_mc import mc_fano, fano_frames_host
+from convolutional_codes_tpu.ops.stack import stack_decode_soft
+from convolutional_codes_tpu.ops.stack_mc import mc_stack, stack_frames_host
+
+pytestmark = pytest.mark.skipif(jax.default_backend() != "tpu",
+                                reason="hardware equality probes")
+
+CASES = [
+    # (code, param, demapper, timeout_per_bit)
+    (0, float(awgn_sigma(4.0)), "soft", 40),
+    (4, float(awgn_sigma(5.0)), "soft", 25),     # WSPR K=32
+    (0, float(awgn_sigma(4.0)), "hard", 40),     # hard demapper
+]
+
+
+def _cpu_ref(fn, *args):
+    """Reference decode on the CPU backend: the XLA machines are proven
+    bit-exact by the CPU suite, and a long single-dispatch while_loop on
+    the tunneled TPU risks the backend watchdog (CLAUDE.md) — the
+    hardware-under-test here is the Pallas kernel, not the reference."""
+    with jax.default_device(jax.devices("cpu")[0]):
+        return np.asarray(jax.jit(fn, backend="cpu")(*args))
+
+
+@pytest.mark.parametrize("ck,param,dem,tpb", CASES)
+def test_mc_fano_hw_counts_equal_xla_decode(ck, param, dem, tpb):
+    code = get_code(ck)
+    lanes, fpl = 256, 2
+    be, fe, nb = mc_fano(code, lanes, fpl, 17, param, channel="awgn",
+                         demapper=dem, timeout_per_bit=tpb, block_lanes=128)
+    bits, syms = fano_frames_host(code, np.arange(lanes * fpl), 17, param,
+                                  "awgn", dem)
+    dec = _cpu_ref(lambda d: fano_decode_soft(code, d, tpb),
+                   jnp.asarray(syms))
+    err = dec != bits[:, : code.block_length]
+    assert (be, fe) == (int(err.sum()), int(err.any(1).sum()))
+    assert be > 0
+
+
+def test_mc_stack_hw_counts_equal_xla_decode():
+    code = get_code(0)
+    param = float(awgn_sigma(5.0))
+    lanes, fpl = 256, 2
+    be, fe, nb = mc_stack(code, lanes, fpl, 23, param, channel="awgn",
+                          block_lanes=128)
+    bits, syms = stack_frames_host(code, np.arange(lanes * fpl), 23, param,
+                                   "awgn")
+    dec = _cpu_ref(lambda d: stack_decode_soft(code, d), jnp.asarray(syms))
+    err = dec != bits[:, : code.block_length]
+    assert (be, fe) == (int(err.sum()), int(err.any(1).sum()))
+    assert be > 0

@@ -14,16 +14,20 @@ from convolutional_codes_tpu.ops.stack import stack_decode_soft, stack_decode_ha
 from convolutional_codes_tpu.ops.stack_mc import mc_stack, stack_frames_host
 
 CASES = [
-    (0, "awgn", float(awgn_sigma(6.0)), "soft"),
-    (0, "bsc", 0.05, "soft"),          # noisy: deep search + worst-replace
-    (5, "awgn", float(awgn_sigma(4.0)), "soft"),   # rate 1/3, M=8
+    # (code, channel, param, demapper, frames_per_lane)
+    (0, "awgn", float(awgn_sigma(6.0)), "soft", 2),
+    (0, "bsc", 0.05, "soft", 2),       # noisy: deep search + worst-replace
+    (5, "awgn", float(awgn_sigma(4.0)), "soft", 2),  # rate 1/3, M=8
+    # production-routed configs the sweep sends through mc_stack:
+    (4, "awgn", float(awgn_sigma(4.0)), "soft", 1),  # WSPR K=32, quirk P1
+    (0, "awgn", float(awgn_sigma(5.0)), "hard", 2),  # hard demapper
 ]
 
 
-@pytest.mark.parametrize("ck,channel,param,dem", CASES)
-def test_counts_match_xla_machine(ck, channel, param, dem):
+@pytest.mark.parametrize("ck,channel,param,dem,fpl", CASES)
+def test_counts_match_xla_machine(ck, channel, param, dem, fpl):
     code = get_code(ck)
-    lanes, fpl = 64, 2
+    lanes = 64
     be, fe, nb = mc_stack(code, lanes, fpl, 42, param, channel=channel,
                           demapper=dem, block_lanes=64, interpret=True)
     bits, syms = stack_frames_host(code, np.arange(lanes * fpl), 42, param,

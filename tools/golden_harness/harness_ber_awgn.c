@@ -42,8 +42,12 @@ static int enc_cb(uint8_t* data, uint8_t len, void* ud) {
 }
 
 static int map_cb(float* data, uint8_t len, void* ud) {
+    /* len counts FLOATS (one symbol per callback, len == 2), like the
+     * reference noise loop (AWGN-channel/main.c:100-102); looping 2*len
+     * here read/wrote past the mapper's 2-float buffer and drew two
+     * extra gengauss() per symbol (timing + heap corruption bug). */
     (void)ud;
-    for (int i = 0; i < 2 * (int)len; ++i) data[i] += scaling * gengauss();
+    for (int i = 0; i < (int)len; ++i) data[i] += scaling * gengauss();
     demapper_input(dem, data, len);
     return -1;
 }
