@@ -20,11 +20,37 @@ def test_recorded_grid_matches_published(name):
     kw, row, channel = CONFIGS[name]
     records = load(name)
     assert records, f"missing results/{name}.jsonl"
+    # full reference tier sample sizes at every point
+    assert scale_of(records, channel) >= 1.0, name
+    if row is None:
+        # extension config (16-QAM family): the reference publishes no row;
+        # anchored instead by the closed-form / cliff tests below
+        return
     _, worst = compare(records, channel, row)
     assert worst is not None
     assert abs(worst) < Z_THRESHOLD, (name, worst)
-    # full reference tier sample sizes at every point
-    assert scale_of(records, channel) >= 1.0, name
+
+
+def test_fano_16qam_grid_cliff():
+    """The recorded K=15 rate-1/4 16-QAM Fano grid
+    (results/awgn_fano_16qam.jsonl, BASELINE config 4 / the flagship
+    extension) must show the tuned sequential-decoding cliff: FER = 1
+    deep below the cutoff region, a sharp drop through 4-6 dB, and
+    error-free 8e8-bit samples at 12-14 dB."""
+    import json
+
+    from tools.reproduce_curves import RESULTS
+
+    with open(RESULTS / "awgn_fano_16qam.jsonl") as f:
+        rows = {r["point"]: r for r in map(json.loads, f)}
+    assert set(rows) >= {0.0, 2.0, 4.0, 5.0, 6.0, 7.0, 8.0, 10.0, 12.0, 14.0}
+    assert rows[0.0]["fer"] == 1.0 and rows[2.0]["fer"] == 1.0
+    assert 0.2 < rows[4.0]["fer"] <= 1.0          # mid-cliff
+    assert 0 < rows[5.0]["fer"] < 0.05            # past the knee
+    assert 0 < rows[6.0]["fer"] < 5e-3
+    assert rows[10.0]["fer"] < 5e-5
+    for p in (12.0, 14.0):
+        assert rows[p]["bits"] >= 8e8 and rows[p]["bit_errors"] == 0
 
 
 def test_uncoded_16qam_grid_matches_closed_form():

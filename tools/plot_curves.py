@@ -153,6 +153,10 @@ def main() -> None:
         path = RESULTS / f"{name}.jsonl"
         if not path.exists():
             continue
+        if row is None:
+            # extension configs (16-QAM family) have no published diamonds;
+            # they get the dedicated _plot_16qam_extension figure
+            continue
         fam = _family_of(name)
         if fam not in figures:
             fig, ax = plt.subplots(figsize=(7.2, 5.4), dpi=150)
