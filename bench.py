@@ -259,6 +259,34 @@ def _resolve_code(code_key):
     return code_key if not isinstance(code_key, (int, str)) else get_code(code_key)
 
 
+def _bench_streaming_fused_per_chip(metric, lanes=65536, windows=2,
+                                    snr_db=6.0, calls=3):
+    """Per-chip rate of the sequence-parallel FUSED streaming mode
+    (parallel/streaming.streaming_mc_accumulate on a 1-device 'seq' mesh):
+    each device decodes a distinct time range of the same coded streams
+    with locally regenerated halos, so the shard body runs at the fused
+    kernel's rate — the number a pod slice scales by along the seq axis
+    (one psum of per-lane counters per call is the only collective)."""
+    from convolutional_codes_tpu.parallel.mesh import make_mesh
+    from convolutional_codes_tpu.parallel.streaming import (
+        streaming_mc_accumulate)
+
+    code = get_code("nasa-k7")
+    mesh = make_mesh({"seq": 1}, devices=jax.devices()[:1])
+    param = float(awgn_sigma(snr_db))
+    be, we, nb = streaming_mc_accumulate(code, lanes, windows, 1, param,
+                                         mesh)                  # warm
+    t0 = time.time()
+    errs = 0
+    for i in range(calls):
+        be, we, nb2 = streaming_mc_accumulate(code, lanes, windows, 100 + i,
+                                              param, mesh)
+        errs += int(jnp.sum(be))
+    dt = time.time() - t0
+    _emit(metric, nb * calls, dt, None, ber=errs / (nb * calls),
+          backend="fused_seq_shard")
+
+
 def _bench_fano_mc(code_key, metric, snr_db, baseline, lanes=1024, fpl=64,
                    timeout=10000, **extra):
     """Fano rows via the fused MC kernel with in-kernel lane refill
@@ -287,9 +315,9 @@ def _bench_stack_mc(code_key, metric, snr_db, baseline, lanes=1024, fpl=64,
 
     code = _resolve_code(code_key)
     param = float(awgn_sigma(snr_db))
-    mc_stack(code, lanes, fpl, 1, param, block_lanes=128)  # compile + warm
+    mc_stack(code, lanes, fpl, 1, param)       # compile + warm (auto tile)
     t0 = time.time()
-    be, fe, nb = mc_stack(code, lanes, fpl, 4242, param, block_lanes=128)
+    be, fe, nb = mc_stack(code, lanes, fpl, 4242, param)
     dt = time.time() - t0
     _emit(metric, nb, dt, baseline, snr_db=snr_db, ber=be / nb,
           frames=lanes * fpl, **extra)
@@ -347,6 +375,10 @@ def bench_all():
     # per-chip rate of the multi-chip streaming shard body (Pallas ACS
     # under shard_map; scales along the seq axis on a pod slice)
     _bench_streaming_per_chip("awgn_k7_streaming_shard_per_chip")
+    # per-chip rate of the sequence-parallel FUSED streaming mode (time
+    # ranges sharded, halos regenerated locally — no ppermute on the hot
+    # path; the distance-fed row above remains for real received data)
+    _bench_streaming_fused_per_chip("awgn_k7_streaming_fused_per_chip")
     # Sequential rows.  Baselines are HONEST same-config same-SNR rates of
     # the freshly compiled C chain on one Xeon core — measured via
     # tools/bench_reference_ext.py (results/reference_fresh_awgn_ext.json);
@@ -368,14 +400,16 @@ def bench_all():
     # pool-path stack row kept for the measured MC-vs-pool comparison
     _bench_seq(0, "stack", "awgn_stack_k3_soft_pool", 8.0, 4.12e6)
     _bench_fano_mc(0, "awgn_fano_k3_soft", 8.0, 7.22e5, lanes=1024, fpl=128)
-    # config 4: fano on K=15 + 16-QAM soft demapper (compaction-pool path:
-    # at T*M = 214*16 the in-kernel refill's datagen outweighs its
-    # utilization gain, so the pool kernel stays faster here)
-    _bench_seq("k15-r14-16qam", "fano", "awgn_fano_k15_16qam", 14.0, None,
-               B=4096)
-    _bench_seq(get_code("k15-r14-16qam").replace(parity=PARITY_COMPAT),
-               "fano", "awgn_fano_k15_16qam_compat_vs_c", 14.0, 1.11e6,
-               B=4096)
+    # config 4: fano on K=15 + 16-QAM soft demapper via the MC kernel
+    # (production path since round 4: 7.4e7 bits/s @ 14 dB vs the pool's
+    # 5.6e6 — the round-3 pool preference was an artifact of the mistuned
+    # weight).  The compat twin runs the quirk-rewired code the C binary
+    # simulates (heavy-tailed walks, BER 1.2e-2 at 14 dB).
+    _bench_fano_mc("k15-r14-16qam", "awgn_fano_k15_16qam", 14.0, None,
+                   lanes=1024, fpl=96)
+    _bench_fano_mc(get_code("k15-r14-16qam").replace(parity=PARITY_COMPAT),
+                   "awgn_fano_k15_16qam_compat_vs_c", 14.0, 1.11e6,
+                   lanes=1024, fpl=24, parity="compat")
 
 
 def main():

@@ -427,17 +427,18 @@ def _mc_kernel(trellis: Trellis, T: int, L: int, Bt: int,
     return _with_table_sig(body, use_matmul), nwords
 
 
-def _with_table_sig(body, use_matmul: bool):
+def _with_table_sig(body, use_matmul: bool, nsmem: int = 3):
     """Adapt the kernel body to the pallas_call positional convention:
-    inputs (incl. the P/E tables when present) precede outputs/scratch."""
+    ``nsmem`` SMEM scalar inputs, then the P/E tables when present, then
+    outputs/scratch."""
     if use_matmul:
-        def kernel(seed_ref, sigma_ref, nsteps_ref, p0, p1, e0, e1,
-                   *rest):
-            body(seed_ref, sigma_ref, nsteps_ref, *rest,
-                 tables=(p0, p1, e0, e1))
+        def kernel(*args):
+            smem = args[:nsmem]
+            tables = args[nsmem:nsmem + 4]
+            body(*smem, *args[nsmem + 4:], tables=tuple(tables))
     else:
-        def kernel(seed_ref, sigma_ref, nsteps_ref, *rest):
-            body(seed_ref, sigma_ref, nsteps_ref, *rest, tables=None)
+        def kernel(*args):
+            body(*args[:nsmem], *args[nsmem:], tables=None)
     return kernel
 
 

@@ -110,10 +110,17 @@ def _mc_longframe_kernel(trellis: Trellis, Tw: int, W: int, Bt: int,
     half_mask = (S >> 1) - 1
     Tb = Tw + K - 1                       # bit rows incl. register lead-in
 
-    def body(seed_ref, sigma_ref, nsteps_ref, err_ref, bits_ref, noise_ref,
-             dec_ref, flips_ref, tables):
+    def body(seed_ref, sigma_ref, nsteps_ref, win0_ref, err_ref, bits_ref,
+             noise_ref, dec_ref, flips_ref, tables):
         seed = seed_ref[0]
         param = sigma_ref[0]
+        # win0: global window offset of this device's shard.  Windows are
+        # independent decodes of hash-addressed stream positions, so a
+        # 'seq'-axis shard_map (parallel/streaming.streaming_mc_accumulate)
+        # splits each lane's stream BY TIME RANGE across devices — sequence
+        # parallelism where the halo is regenerated locally instead of
+        # exchanged over ICI, bit-identical to the monolithic run.
+        win0 = win0_ref[0]
         # two index grids (bit rows incl. lead-in, and symbol rows): built
         # as separate iotas — Mosaic rejects sublane-offset value slices
         lane_b = (jax.lax.broadcasted_iota(jnp.uint32, (Tb, Bt), 1)
@@ -129,8 +136,8 @@ def _mc_longframe_kernel(trellis: Trellis, Tw: int, W: int, Bt: int,
             # bit, K-1 rows before the window's first symbol.  Positions go
             # negative for step 0's left halo — fine, the hash is defined
             # on the wrapped uint32 counter.
-            pos_b = (trow_b - (W + K - 1)) + step * Wn
-            pos_s = (trow_s - W) + step * Wn
+            pos_b = (trow_b - (W + K - 1)) + (win0 + step) * Wn
+            pos_s = (trow_s - W) + (win0 + step) * Wn
 
             # info bits for [lead-in + window] — pure function of position
             bits_ref[:] = (coord_bits(lane_b, pos_b, seed, 0)
@@ -210,13 +217,14 @@ def _mc_longframe_kernel(trellis: Trellis, Tw: int, W: int, Bt: int,
         err_ref[0] = errs
         err_ref[1] = werrs
 
-    return _with_table_sig(body, use_matmul), nwords
+    return _with_table_sig(body, use_matmul, nsmem=4), nwords
 
 
 def mc_longframe_viterbi(code: Code, lanes: int, nsteps: int, seed, param,
                          channel: str = "awgn", demapper: str = "soft",
                          window: int = 1920, warmup: int = 128,
-                         block_lanes: int = 1024, interpret: bool = False
+                         block_lanes: int = 1024, win0=0,
+                         interpret: bool = False
                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Monte-Carlo long-frame Viterbi chain, fully fused in VMEM.
 
@@ -258,11 +266,13 @@ def mc_longframe_viterbi(code: Code, lanes: int, nsteps: int, seed, param,
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
     ]
     operands = [
         jnp.asarray([seed], jnp.int32) if np.ndim(seed) == 0 else seed,
         jnp.asarray([param], jnp.float32) if np.ndim(param) == 0 else param,
-        jnp.asarray([nsteps], jnp.int32)]
+        jnp.asarray([nsteps], jnp.int32),
+        jnp.asarray([win0], jnp.int32) if np.ndim(win0) == 0 else win0]
     if use_matmul:
         P0, P1, E0, E1, _, _ = _tables(trellis)
         for tab in (P0, P1, E0, E1):

@@ -330,9 +330,24 @@ def _init_state(code: Code, B: int, channel: str):
             jnp.zeros((T, B), jnp.int32)]
 
 
+def auto_block_lanes(code: Code, lanes: int, channel: str) -> int:
+    """Widest tile whose symbol plane stays comfortably in VMEM.  The
+    stack micro-step is op-ISSUE-bound well past 128 lanes (its state
+    planes are [64, Bt]), so wider tiles amortize the same ~constant op
+    count over more lanes: measured k3 @ 8 dB 6.6e7 -> 1.37e8 bits/s from
+    Bt 128 -> 1024 (PERF.md §3c).  Contrast fano, whose [T, Bt] node
+    planes are element-bound at Bt=128 already."""
+    T = code.num_block_symbols
+    plane = T * (code.points_per_symbol if channel == "awgn" else 1) * 4
+    bt = 1024
+    while bt > 128 and plane * bt > (4 << 20):
+        bt //= 2
+    return min(lanes, bt)
+
+
 def mc_stack(code: Code, lanes: int, frames_per_lane: int, seed, param,
              channel: str = "awgn", demapper: str = "soft",
-             block_lanes: int = 128, max_calls: int = 1000000,
+             block_lanes: int = 0, max_calls: int = 1000000,
              lane0: int = 0, interpret: bool = False, _debug: bool = False):
     """Run ``lanes * frames_per_lane`` stack-decoded frames fully on-chip.
 
@@ -345,7 +360,7 @@ def mc_stack(code: Code, lanes: int, frames_per_lane: int, seed, param,
     from convolutional_codes_tpu.ops.seq_chunking import _DISPATCH_BUDGET
 
     B = lanes
-    Bt = block_lanes
+    Bt = block_lanes or auto_block_lanes(code, lanes, channel)
     if B % Bt:
         raise ValueError(f"lanes {B} not divisible by tile {Bt}")
     step = _stack_mc_call(code, B, Bt, channel, demapper, interpret)

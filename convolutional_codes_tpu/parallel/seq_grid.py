@@ -92,7 +92,7 @@ register_dependent_cache(_seq_grid_step.cache_clear)
 def seq_mc_grid(decoder: str, code: Code, lanes: int, frames_per_lane: int,
                 seeds: Sequence[int], params: Sequence[float], mesh: Mesh,
                 channel: str = "awgn", demapper: str = "soft",
-                timeout_per_bit: int = FANO_TIMEOUT, block_lanes: int = 128,
+                timeout_per_bit: int = FANO_TIMEOUT, block_lanes: int = 0,
                 max_calls: int = 1000000, interpret: bool = False,
                 _debug: bool = False) -> Tuple[np.ndarray, np.ndarray,
                                                np.ndarray]:
@@ -116,6 +116,11 @@ def seq_mc_grid(decoder: str, code: Code, lanes: int, frames_per_lane: int,
     if lanes % dpp:
         raise ValueError(f"lanes {lanes} not divisible by {dpp} devices/point")
     Bl = lanes // dpp
+    if not block_lanes:
+        # stack is issue-bound → widest VMEM-safe tile; fano's [T, B] node
+        # planes are element-bound at 128 (measured, PERF.md §3c)
+        block_lanes = (stack_mc.auto_block_lanes(code, Bl, channel)
+                       if decoder == "stack" else 128)
     Bt = min(block_lanes, Bl)
     if Bl % Bt:
         raise ValueError(f"per-device lanes {Bl} not divisible by tile {Bt}")

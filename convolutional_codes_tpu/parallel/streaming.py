@@ -448,6 +448,59 @@ def monolithic_reference_decode(code: Code, dists: jnp.ndarray) -> jnp.ndarray:
     return bits
 
 
+@lru_cache(maxsize=None)
+def _fused_stream_runner(code: Code, lanes: int, wpd: int, window: int,
+                         warmup: int, channel: str, demapper: str,
+                         mesh: Mesh, interpret: bool):
+    from convolutional_codes_tpu.ops.fused_longframe import mc_longframe_viterbi
+
+    axes = tuple(mesh.axis_names)
+
+    @jax.jit
+    @partial(shard_map, mesh=mesh, in_specs=(P(), P(), P(axes)),
+             out_specs=(P(), P()), check_vma=False)
+    def run(seed, param, win0):
+        be, we = mc_longframe_viterbi(
+            code, lanes, wpd, seed, param, channel=channel,
+            demapper=demapper, window=window, warmup=warmup,
+            block_lanes=min(1024, lanes), win0=win0, interpret=interpret)
+        return (jax.lax.psum(be, axes), jax.lax.psum(we, axes))
+
+    return run
+
+
+def streaming_mc_accumulate(code: Code, lanes: int, windows: int, seed,
+                            param, mesh: Mesh, channel: str = "awgn",
+                            demapper: str = "soft", window: int = 1920,
+                            warmup: int = 128, interpret: bool = False):
+    """Sequence-parallel fused streaming Monte-Carlo: each device decodes a
+    distinct TIME RANGE of the same ``lanes`` coded streams.
+
+    The fused long-frame kernel's windows are independent overlap-save
+    decodes of hash-addressed stream positions (ops/fused_longframe), so
+    sequence parallelism needs no ppermute state handoff: each device
+    regenerates its halos locally from the position-addressable RNG, and a
+    D-device run is **bit-identical** to the monolithic
+    ``mc_longframe_viterbi(code, lanes, windows, ...)`` decode of the same
+    streams (tests/test_streaming.py) — the TPU-native replacement for the
+    distance-fed handoff path above, which remains for decoding real
+    received data.  Per-chip rate equals the fused kernel's (no comms on
+    the hot path; one psum per call).
+
+    Returns (bit_errors [lanes], window_errors [lanes], info_bits) with
+    counters summed across devices.
+    """
+    ndev = int(np.prod(list(mesh.shape.values())))
+    if windows % ndev:
+        raise ValueError(f"{windows} windows not divisible by {ndev} devices")
+    wpd = windows // ndev
+    run = _fused_stream_runner(code, lanes, wpd, window, warmup, channel,
+                               demapper, mesh, interpret)
+    win0 = jnp.asarray(np.arange(ndev, dtype=np.int32) * wpd)
+    be, we = run(jnp.int32(int(seed) & 0x7FFFFFFF), jnp.float32(param), win0)
+    return be, we, lanes * windows * window
+
+
 def dryrun_streaming(n_devices: int) -> None:
     """Tiny end-to-end streaming step over a ``seq`` mesh (driver dry run)."""
     from convolutional_codes_tpu.models.codebook import get_code
@@ -468,3 +521,11 @@ def dryrun_streaming(n_devices: int) -> None:
     out = streaming_viterbi_decode(code, dists, mesh, warmup=W)
     decoded = np.asarray(out)[:, :L]
     assert np.array_equal(decoded, np.asarray(bits)), "streaming dryrun mismatch"
+
+    # fused streaming MC leg: per-device time-range windows, psum counters
+    be, we, nb = streaming_mc_accumulate(
+        code, lanes=8, windows=n_devices, seed=3, param=0.35, mesh=mesh,
+        window=64, warmup=32,
+        interpret=jax.default_backend() != "tpu")
+    assert nb == 8 * n_devices * 64
+    assert be.shape == (8,)

@@ -335,12 +335,15 @@ def run_sweep(spec: SweepSpec, mesh=None, checkpoint_path: Optional[str] = None,
     import os as _os
     _no_mc_env = ("CONVCODES_NO_FANO_MC" if spec.decoder == "fano"
                   else "CONVCODES_NO_STACK_MC")
+    # T*M gates: fano covers the big K=15 + 16-QAM planes since round 4
+    # (the round-3 'pool faster here' measurement ran with the mistuned
+    # -40 weight where every walk was timeout-bound; with the retuned
+    # weight mc_fano does 7.4e7 bits/s @ 14 dB vs the pool's 5.6e6 —
+    # PERF.md §3c); stack keeps the measured 1024 gate.
+    _tm = code.num_block_symbols * code.points_per_symbol
     seq_mc_hw = (seq_host
-                 and code.num_block_symbols * code.points_per_symbol <= 1024
+                 and _tm <= (4096 if spec.decoder == "fano" else 1024)
                  and not _os.environ.get(_no_mc_env))
-    # (big T*M codes — e.g. K=15 + 16-QAM — stay on the compaction-pool
-    # path: the in-kernel refill's datagen planes scale with T*M and
-    # outweigh the utilization gain there, measured round 3)
     bits_per_call = eff_frames * frame_bits * (1 if seq_host else ndev)
     # chunk scans so int32 counters cannot overflow and dispatches stay
     # reasonably sized

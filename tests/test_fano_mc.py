@@ -48,6 +48,23 @@ def test_counts_match_xla_machine(ck, channel, param, dem, tpb, fpl):
     assert be > 0  # the case must actually exercise errors
 
 
+def test_16qam_counts_match_xla_machine():
+    """K=15 + 16-QAM (T*M = 3424): the sweep routes this code through
+    mc_fano since round 4 — the largest node/symbol planes any production
+    config puts in the kernel.  Cliff-region noise so real errors flow."""
+    code = get_code("k15-r14-16qam")
+    param = float(awgn_sigma(5.0))
+    be, fe, nb = mc_fano(code, 16, 1, 42, param, channel="awgn",
+                         demapper="soft", timeout_per_bit=50,
+                         block_lanes=16, interpret=True)
+    bits, syms = fano_frames_host(code, np.arange(16), 42, param,
+                                  "awgn", "soft")
+    dec = fano_decode_soft(code, jnp.asarray(syms), 50)
+    err = np.asarray(dec) != bits[:, : code.block_length]
+    assert (be, fe) == (int(err.sum()), int(err.any(1).sum()))
+    assert be > 0
+
+
 def test_deterministic_and_seed_sensitive():
     code = get_code(0)
     kw = dict(channel="awgn", timeout_per_bit=30, block_lanes=64,

@@ -30,6 +30,9 @@ CASES = [
     (0, float(awgn_sigma(4.0)), "soft", 40),
     (4, float(awgn_sigma(5.0)), "soft", 25),     # WSPR K=32
     (0, float(awgn_sigma(4.0)), "hard", 40),     # hard demapper
+    # K=15 + 16-QAM (T*M = 3424): production-routed through mc_fano
+    # since round 4; cliff-region noise so errors actually flow
+    ("k15-r14-16qam", float(awgn_sigma(5.0)), "soft", 50),
 ]
 
 

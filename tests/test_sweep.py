@@ -127,6 +127,9 @@ def test_seq_host_bits_ignore_mesh(monkeypatch):
 
     monkeypatch.setattr(sw, "_sequential_host_accumulate", fake_seq)
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    # force the legacy pool path (stack otherwise routes to mc_stack,
+    # whose per-point bit accounting is lanes*fpl-exact by construction)
+    monkeypatch.setenv("CONVCODES_NO_STACK_MC", "1")
     mesh = make_mesh({"frames": 2}, devices=jax.devices()[:2])
     spec = SweepSpec(code=0, channel="awgn", decoder="stack",
                      frames_per_step=256, points=[8.0], bits_per_point=81920)
