@@ -469,6 +469,13 @@ def _fused_stream_runner(code: Code, lanes: int, wpd: int, window: int,
     return run
 
 
+# the fused kernel embeds the constellation tables of code.symlen_out
+from convolutional_codes_tpu.models.constellations import (  # noqa: E402
+    register_dependent_cache as _reg_dep)
+
+_reg_dep(_fused_stream_runner.cache_clear)
+
+
 def streaming_mc_accumulate(code: Code, lanes: int, windows: int, seed,
                             param, mesh: Mesh, channel: str = "awgn",
                             demapper: str = "soft", window: int = 1920,

@@ -467,11 +467,17 @@ def run_sweep(spec: SweepSpec, mesh=None, checkpoint_path: Optional[str] = None,
         pending = []
         for (lanes, fpl), group in sorted(by_plan.items()):
             while group:
-                R = 1
+                R = 0
                 for d in range(min(len(group), seq_ndev), 0, -1):
                     if seq_ndev % d == 0 and lanes % (seq_ndev // d) == 0:
                         R = d
                         break
+                if R == 0:
+                    # no (points, devices, lanes) grouping divides evenly
+                    # (e.g. a 6-device mesh with 1024 lanes): run these
+                    # points on the single-device serial leg below
+                    pending.extend(group)
+                    break
                 batch_items, group = group[:R], group[R:]
                 seeds = [(spec.seed * 1000003 + it[0] * 7919) & 0x7FFFFFFF
                          for it in batch_items]
