@@ -176,3 +176,58 @@ def test_run_sweep_grid_leftovers_mixed_tiers():
     for g, s in zip(grid, serial):
         assert (g.bits, g.bit_errors, g.frame_errors) == \
                (s.bits, s.bit_errors, s.frame_errors), (g, s)
+
+
+def test_seq_mc_grid_routing_plan(monkeypatch):
+    """run_sweep's mesh grouping for sequential MC points: equal-plan
+    points batch onto device groups with the SAME per-point seeds the
+    serial leg derives, a leftover point still uses the whole mesh
+    (R=1), and plans that cannot split evenly fall back to the serial
+    leg instead of raising (counter identity itself is proven in
+    tests/test_seq_grid.py on the real kernels)."""
+    from convolutional_codes_tpu.parallel import seq_grid as sg
+    from convolutional_codes_tpu.sim import sweep as sw
+
+    L = 40
+    grid_calls = []
+    serial_calls = []
+
+    def fake_grid(decoder, code, lanes, fpl, seeds, params, mesh, **kw):
+        grid_calls.append((lanes, fpl, tuple(seeds), len(params)))
+        R = len(seeds)
+        return (np.zeros(R, np.int64), np.zeros(R, np.int64),
+                np.full(R, lanes * fpl * L, np.int64))
+
+    def fake_mc(code, lanes, fpl, seed, param, **kw):
+        serial_calls.append((lanes, fpl, seed))
+        return 0, 0, lanes * fpl * L
+
+    monkeypatch.setattr(sg, "seq_mc_grid", fake_grid)
+    monkeypatch.setattr(
+        "convolutional_codes_tpu.ops.stack_mc.mc_stack", fake_mc)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    # 3 equal-tier points on an 8-device mesh -> one R=2 batch + one R=1
+    spec = SweepSpec(code=0, channel="awgn", decoder="stack",
+                     points=(6.0, 8.0, 10.0),
+                     bits_per_point=2 * 1024 * L, seed=5)
+    mesh = make_mesh({"frames": 8})
+    recs = run_sweep(spec, mesh=mesh, verbose=False)
+    # cold fpl=1 + warm fpl-1 per batch
+    assert [c[:2] for c in grid_calls] == [(1024, 1)] * 2 + [(1024, 1)] * 2
+    exp = [(5 * 1000003 + i * 7919) & 0x7FFFFFFF for i in range(3)]
+    assert grid_calls[0][2] == (exp[0], exp[1])
+    assert grid_calls[1][2] == tuple(s ^ 0x2A5A5A5A for s in exp[:2])
+    assert grid_calls[2][2] == (exp[2],)
+    assert not serial_calls
+    assert all(r.bits == 2 * 1024 * L for r in recs)
+
+    # 5 devices cannot split 1024 lanes for a single point (dpp=5): the
+    # point falls back to the serial leg
+    grid_calls.clear()
+    spec5 = SweepSpec(code=0, channel="awgn", decoder="stack",
+                      points=(8.0,), bits_per_point=1024 * L, seed=5)
+    mesh5 = make_mesh({"frames": 5}, devices=jax.devices()[:5])
+    run_sweep(spec5, mesh=mesh5, verbose=False)
+    assert not grid_calls
+    assert [c[:2] for c in serial_calls] == [(1024, 1)]
