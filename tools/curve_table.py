@@ -54,7 +54,11 @@ def main():
             rows.append((name, channel, 0, 0.0, None, None))
             continue
         grid = GOLD[channel]["SNR" if channel == "awgn" else "ber_uncoded"]
-        _, worst = compare(records, channel, row)
+        if row is None:
+            # extension config: no published row to z-compare against
+            worst = float("nan")
+        else:
+            _, worst = compare(records, channel, row)
         agg = aggregate_bits_per_s(records)
         rows.append((name, channel, f"{len(records)}/{len(grid)}",
                      scale_of(records, channel), worst, agg))
@@ -70,12 +74,19 @@ def main():
                       f"| {agg:.2e} |")
         return
 
+    import math
+
     for name, channel, grid, scale, worst, agg in rows:
         if worst is None:
             print(f"{'MISS':4} {name:26s}")
         else:
-            flag = "OK " if worst < Z_THRESHOLD and scale >= 0.99 else (
-                "PART" if worst < Z_THRESHOLD else "WARN")
+            if math.isnan(worst):
+                # extension config: no published row (anchored by the
+                # closed-form / cliff artifact tests instead)
+                flag = "EXT "
+            else:
+                flag = "OK " if worst < Z_THRESHOLD and scale >= 0.99 else (
+                    "PART" if worst < Z_THRESHOLD else "WARN")
             print(f"{flag:4} {name:26s} grid={grid:6} scale={scale:8.2g} "
                   f"worst|z|={worst:6.2f} {agg:.3e} bits/s")
 

@@ -91,8 +91,10 @@ def _table_ulp(channel, row_name):
 #:     +1.4% (K=6 stack) to +7% (K=32 WSPR stack) BER inflation at mid
 #:     crossovers; the fresh rows for those configs re-run the identical
 #:     chain with only the channel RNG replaced (exact-threshold
-#:     splitmix64), i.e. the ideal BSC the framework's threefry channel
-#:     also samples.
+#:     splitmix64 — tools/golden_harness/harness_ber_bsc_clean.c), i.e.
+#:     the ideal BSC the framework's threefry channel also samples.
+#:     Round 4 extended the WSPR-stack rows to p=0.025/0.05 (rand sampler
+#:     measured +1.8%/+0.5% over clean there; 2.4e8/4e7 bits).
 #: For these rows the z is computed against the fresh measurement
 #: (two-sample, both clustered).
 _FRESH_SOURCES = (
