@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import hashlib
 import json
 import time
 from typing import List, Optional, Sequence
@@ -271,6 +272,31 @@ def _sequential_host_accumulate(code: Code, spec: SweepSpec, param,
     return be, fe, nbits
 
 
+def _spec_fingerprint(spec: SweepSpec, code: Code) -> str:
+    """Hash of everything that determines a sweep's counters.  Stored in the
+    checkpoint as ``__spec__``; ``run_sweep`` refuses to resume from a
+    checkpoint whose fingerprint differs (per-point resume silently *skips*
+    matching points, so a stale checkpoint from another spec would quietly
+    keep its old counters — the round-4 verdict's correctness trap)."""
+    payload = {
+        "code": code.name,
+        "polys": list(code.polynomials),
+        "K": code.constraint_length,
+        "L": code.block_length,
+        "parity": code.parity,
+        "channel": spec.channel,
+        "decoder": spec.decoder,
+        "demapper": spec.demapper,
+        "base_bits": spec.base_bits,
+        "bits_per_point": spec.bits_per_point,
+        "seed": spec.seed,
+        "timeout_per_bit": spec.timeout_per_bit,
+        "frames_per_step": spec.frames_per_step,
+    }
+    return hashlib.sha256(
+        json.dumps(payload, sort_keys=True).encode()).hexdigest()[:16]
+
+
 def run_sweep(spec: SweepSpec, mesh=None, checkpoint_path: Optional[str] = None,
               verbose: bool = True) -> List[PointRecord]:
     """Run the sweep, optionally sharded over ``mesh`` ('frames' axis) and
@@ -302,12 +328,22 @@ def run_sweep(spec: SweepSpec, mesh=None, checkpoint_path: Optional[str] = None,
             to_param = lambda p: float(p)
 
     done_points = {}
+    spec_fp = _spec_fingerprint(spec, code)
     if checkpoint_path:
         try:
             with open(checkpoint_path) as f:
-                done_points = {float(k): v for k, v in json.load(f).items()}
+                raw = json.load(f)
         except FileNotFoundError:
-            pass
+            raw = None
+        if raw is not None:
+            if raw.get("__spec__") != spec_fp:
+                raise ValueError(
+                    f"checkpoint {checkpoint_path} was written by a different "
+                    f"sweep spec (fingerprint {raw.get('__spec__')!r} != "
+                    f"{spec_fp!r}); refusing to resume — delete it or point "
+                    "the sweep elsewhere")
+            done_points = {float(k): v for k, v in raw.items()
+                           if k != "__spec__"}
 
     # Fused all-in-one Pallas kernel for the flagship AWGN/soft-Viterbi
     # config on TPU — same statistics, ~20x the throughput of the modular
@@ -370,8 +406,10 @@ def run_sweep(spec: SweepSpec, mesh=None, checkpoint_path: Optional[str] = None,
                   f"FER={rec.fer:.3e} {rec.bits_per_s:.3e} bits/s", flush=True)
         if checkpoint_path:
             done_points[point] = rec.to_dict()
+            payload = {str(k): v for k, v in done_points.items()}
+            payload["__spec__"] = spec_fp
             with open(checkpoint_path, "w") as f:
-                json.dump({str(k): v for k, v in done_points.items()}, f)
+                json.dump(payload, f)
 
     # plan: (index, point, param, nsteps) for every point not checkpointed
     pending = []
@@ -459,7 +497,11 @@ def run_sweep(spec: SweepSpec, mesh=None, checkpoint_path: Optional[str] = None,
     # (parallel/seq_grid.py, tests/test_seq_grid.py).
     seq_ndev = (int(np.prod(list(mesh.shape.values())))
                 if mesh is not None else 1)
-    if seq_mc_hw and seq_ndev > 1:
+    # spec.trace_dir implies the serial per-point leg: the batched leg runs
+    # several points in one dispatch, so a per-point XProf capture would be
+    # meaningless (advisor round-4 finding — previously traces were silently
+    # dropped here)
+    if seq_mc_hw and seq_ndev > 1 and not spec.trace_dir:
         from convolutional_codes_tpu.parallel.seq_grid import seq_mc_grid
         by_plan = {}
         for item in pending:

@@ -83,9 +83,37 @@ def test_checkpoint_resume(tmp_path):
                      bits_per_point=128 * 40 * 2, seed=9)
     first = run_sweep(spec, checkpoint_path=ck, verbose=False)
     with open(ck) as f:
-        assert len(json.load(f)) == 2
+        payload = json.load(f)
+    assert len(payload) == 3 and "__spec__" in payload  # 2 points + spec hash
     second = run_sweep(spec, checkpoint_path=ck, verbose=False)
     assert [r.to_dict() for r in first] == [r.to_dict() for r in second]
+
+
+def test_checkpoint_spec_mismatch_refused(tmp_path):
+    """Resuming from a checkpoint written by a different spec must raise:
+    per-point resume silently skips matching points, so a stale checkpoint
+    would quietly keep old counters (round-4 verdict weak item 5)."""
+    import pytest
+
+    ck = str(tmp_path / "ck.json")
+    spec = SweepSpec(code=0, channel="bsc", decoder="viterbi",
+                     points=[0.05], frames_per_step=128,
+                     bits_per_point=128 * 40, seed=9)
+    run_sweep(spec, checkpoint_path=ck, verbose=False)
+    # different seed → different counters → must refuse
+    other = SweepSpec(code=0, channel="bsc", decoder="viterbi",
+                      points=[0.05], frames_per_step=128,
+                      bits_per_point=128 * 40, seed=10)
+    with pytest.raises(ValueError, match="different .*spec"):
+        run_sweep(other, checkpoint_path=ck, verbose=False)
+    # legacy checkpoint without a fingerprint is refused too
+    with open(ck) as f:
+        payload = json.load(f)
+    del payload["__spec__"]
+    with open(ck, "w") as f:
+        json.dump(payload, f)
+    with pytest.raises(ValueError, match="different .*spec"):
+        run_sweep(spec, checkpoint_path=ck, verbose=False)
 
 
 def test_records_output(tmp_path):

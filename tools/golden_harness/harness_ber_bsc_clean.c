@@ -52,10 +52,11 @@ int main(int argc, char** argv) {
     unsigned seed = (unsigned)strtoul(argv[3], NULL, 10);
     long ppm = atol(argv[4]);
     sm_state = 0x243F6A8885A308D3ULL ^ (uint64_t)seed * 0x100000001B3ULL;
-    /* exact threshold: flip iff u64 < p * 2^64 (ppm/1e6 scaled) */
-    /* compute p*2^64 without overflow: ppm * (2^64/1e6) + carry part */
+    /* exact threshold: flip iff u64 < p * 2^64 (ppm/1e6 scaled).
+     * ppm >= 1e6 makes thr exactly 2^64, which truncates to 0 in the
+     * uint64 — saturate so p = 1.0 flips every bit instead of none. */
     __uint128_t thr = ((__uint128_t)ppm << 64) / 1000000u;
-    uint64_t threshold = (uint64_t)thr;
+    uint64_t threshold = (ppm >= 1000000) ? UINT64_MAX : (uint64_t)thr;
 
     struct code_param param;
     get_code((uint8_t)code_idx, &param);
