@@ -137,12 +137,22 @@ def _rand_uniform(shape, interpret, sbase, salt):
     return _uniform_from_bits(pltpu.prng_random_bits(shape))
 
 
-def _stage_fns(code):
+def _stage_fns(code, fast_demap: bool = False):
     """Elementwise stage helpers shared by both kernel schedules: they work
     unchanged on ``(Bt,)`` rows (loop kernel) and ``(T, Bt)`` planes (bulk
     kernel) — same expressions, so same float results.  Takes a bare
     :class:`Code` (no dense trellis — the big-K sequential codes like WSPR
-    K=32 have no enumerable state table)."""
+    K=32 have no enumerable state table).
+
+    ``fast_demap`` replaces the squared-distance vector with its expanded
+    linear form d'_e = (|p_e|^2 - 2<rx, p_e>) * inv_nd — the |rx|^2 term
+    (and, for constant-modulus constellations, the |p_e|^2 term) is common
+    to every e at a time step, so dropping it shifts all path metrics at
+    that step by the same amount and the ACS compares/argmin are
+    mathematically unchanged.  Float rounding differs from the reference
+    expression (demapper.c:61-85), so this is a *statistical-contract*
+    variant (BER validated by z-test, tests/test_fused_variants.py), not
+    the bit-exact default."""
     M = code.points_per_symbol
     symlen = code.symlen_out
     points = get_constellation(symlen)
@@ -195,6 +205,49 @@ def _stage_fns(code):
             out.append(((di * di) + (dq * dq)) * jnp.float32(inv_nd))
         return out
 
+    pe2 = [float((points[e, 0] ** 2 + points[e, 1] ** 2) * inv_nd)
+           for e in range(M)]
+    const_mod = len({round(x, 12) for x in pe2}) == 1
+
+    def dist_vec_lin(rxi, rxq):
+        """linear-form distance vector (``fast_demap``): hand-CSE'd over
+        the unique |coordinate| values so QPSK costs 2 muls + 4 add/negs
+        instead of M*(2 subs + 2 muls + 2 adds + mul)."""
+        pre_i = {a: rxi * jnp.float32(-2.0 * inv_nd * a)
+                 for a in {abs(float(points[e, 0])) for e in range(M)} if a}
+        pre_q = {a: rxq * jnp.float32(-2.0 * inv_nd * a)
+                 for a in {abs(float(points[e, 1])) for e in range(M)} if a}
+        memo = {}
+
+        def lin(pi, pq):
+            key = (pi, pq)
+            if key in memo:
+                return memo[key]
+            if (-pi, -pq) in memo:
+                v = -memo[(-pi, -pq)]
+            elif pi == 0.0:
+                v = pre_q[abs(pq)] if pq > 0 else -pre_q[abs(pq)]
+            elif pq == 0.0:
+                v = pre_i[abs(pi)] if pi > 0 else -pre_i[abs(pi)]
+            else:
+                ti = pre_i[abs(pi)]
+                tq = pre_q[abs(pq)]
+                if pi > 0:
+                    v = ti + tq if pq > 0 else ti - tq
+                else:
+                    v = tq - ti if pq > 0 else -(ti + tq)
+            memo[key] = v
+            return v
+
+        out = []
+        for e in range(M):
+            v = lin(float(points[e, 0]), float(points[e, 1]))
+            out.append(v if const_mod else v + jnp.float32(pe2[e]))
+        return out
+
+    if fast_demap:
+        dist_vec = dist_vec_lin
+
     def snap(dists):
         """snap-then-distance (hard-demapper.c:66-87): pick the nearest
         point (strict less, first wins) and return its coordinates —
@@ -213,7 +266,7 @@ def _stage_fns(code):
 
 
 def _acs_fns(trellis: Trellis, T: int, L: int, Bt: int, hard: bool,
-             matmul: bool = False):
+             matmul: bool = False, acs_dtype=jnp.float32):
     """ACS step, metric init, end-state argmin, and the traceback/error
     loop — the trellis half shared verbatim by both kernel schedules.
 
@@ -222,7 +275,15 @@ def _acs_fns(trellis: Trellis, T: int, L: int, Bt: int, hard: bool,
     ``tables`` argument — pallas rejects array-valued closure constants).
     Exactness: each one-hot f32 row selects a single element, and
     precision=HIGHEST (bf16x3) reproduces the 24-bit mantissa exactly —
-    same argument as ops/viterbi_pallas.py."""
+    same argument as ops/viterbi_pallas.py.
+
+    ``acs_dtype`` runs the metric arithmetic (branch adds, compares,
+    selects, argmin) in the given dtype — bfloat16 halves the vregs per
+    metric row (statistical-contract variant; non-matmul path only).
+    MEASURED CLOSED on real hardware: Mosaic rejects bf16 vector
+    compares on v5e ("Target does not support this comparison", round-5
+    minimal-kernel probe) — the bf16 path runs in interpret mode only
+    and exists to document the closed lever (PERF.md §1)."""
     S = trellis.num_states
     K = trellis.code.constraint_length
     _, _, _, _, nwords, _ = _tables(trellis)
@@ -268,6 +329,8 @@ def _acs_fns(trellis: Trellis, T: int, L: int, Bt: int, hard: bool,
     else:
         def acs_step(metrics, dists, dec_ref, t, tables=None):
             """branch select via unrolled static row concat (VPU)."""
+            if acs_dtype != jnp.float32:
+                dists = [d.astype(acs_dtype) for d in dists]
             b0 = jnp.concatenate([dists[int(e)][None, :] for e in esym0], 0)
             b1 = jnp.concatenate([dists[int(e)][None, :] for e in esym1], 0)
             cand0 = _rows(metrics, prev0) + b0
@@ -276,12 +339,16 @@ def _acs_fns(trellis: Trellis, T: int, L: int, Bt: int, hard: bool,
 
     def init_metrics():
         init_val = float(0xFF00) if hard else BIG_METRIC
-        init = jnp.full((S, Bt), init_val, jnp.float32)
+        init = jnp.full((S, Bt), init_val, acs_dtype)
         return jnp.concatenate(
-            [jnp.zeros((1, Bt), jnp.float32), init[1:]], axis=0)
+            [jnp.zeros((1, Bt), acs_dtype), init[1:]], axis=0)
 
     def argmin_lanes(metrics):
         """in-kernel argmin (strict less → first state wins ties)."""
+        if metrics.dtype != jnp.float32:
+            # Mosaic rejects the (Bt,) bf16 compare chain (1-D i1 vector
+            # relayout); one [S, Bt] upcast per MC step is free
+            metrics = metrics.astype(jnp.float32)
         best = metrics[0]
         cur = jnp.zeros((Bt,), jnp.uint32)
         for s in range(1, S):
@@ -332,7 +399,9 @@ def _step_base(hbase, step, interpret):
 
 def _mc_kernel(trellis: Trellis, T: int, L: int, Bt: int,
                channel: str = "awgn", demapper: str = "soft",
-               interpret: bool = False, use_matmul: bool = False):
+               interpret: bool = False, use_matmul: bool = False,
+               variant: frozenset = frozenset(),
+               unroll: int = _TRELLIS_UNROLL):
     """Whole-Monte-Carlo-step kernel: bits→encode→channel→metrics→ACS→
     traceback→error counts, nsteps iterations, all resident in VMEM.  The
     only HBM traffic is the per-lane error counters.
@@ -343,7 +412,14 @@ def _mc_kernel(trellis: Trellis, T: int, L: int, Bt: int,
     Viterbi chain of binary-symmetric-channel/main.c.
 
     ``use_matmul``: one-hot MXU trellis selection for S > _UNROLL_STATES
-    (the caller passes the P/E tables as extra kernel inputs)."""
+    (the caller passes the P/E tables as extra kernel inputs).
+
+    ``variant`` tokens (see :func:`mc_chain_viterbi`): ``fast_demap`` and
+    ``bf16_acs`` are statistical-contract performance options;
+    ``cheap_bm`` / ``static_noise`` / ``cheap_enc`` / ``no_tb`` are
+    MEASUREMENT-ONLY ablations (tools/mfu_probe.py) whose output
+    statistics are meaningless — they exist to attribute wall time to
+    stages at the Mosaic level (PERF.md §1)."""
     code = trellis.code
     S = trellis.num_states
     M = code.points_per_symbol
@@ -352,9 +428,11 @@ def _mc_kernel(trellis: Trellis, T: int, L: int, Bt: int,
         raise NotImplementedError(
             f"fused MC kernel supports up to {_FUSED_MAX_STATES} states "
             f"(K <= 9); got {S}")
-    esym_of, hard_dists, tx_select, dist_vec, snap = _stage_fns(trellis.code)
+    esym_of, hard_dists, tx_select, dist_vec, snap = _stage_fns(
+        trellis.code, fast_demap="fast_demap" in variant)
     acs_step, init_metrics, argmin_lanes, make_tb, nwords = _acs_fns(
-        trellis, T, L, Bt, hard=channel == "bsc", matmul=use_matmul)
+        trellis, T, L, Bt, hard=channel == "bsc", matmul=use_matmul,
+        acs_dtype=jnp.bfloat16 if "bf16_acs" in variant else jnp.float32)
     symlen = code.symlen_out
     hard = channel == "bsc"
 
@@ -364,8 +442,7 @@ def _mc_kernel(trellis: Trellis, T: int, L: int, Bt: int,
         param = sigma_ref[0]
         row_live = jax.lax.broadcasted_iota(jnp.int32, (T, Bt), 0) < L
 
-        def one_step(step, carry):
-            errs, ferrs = carry
+        def gen_data(step):
             sbase = _step_base(hbase, step, interpret)
             # fresh info bits (tail rows forced to zero — encoder.c:112-115)
             rnd = _rand_u32((T, Bt), interpret, sbase, 0)
@@ -379,6 +456,12 @@ def _mc_kernel(trellis: Trellis, T: int, L: int, Bt: int,
                     fk = (u[k] < param).astype(jnp.uint32)
                     fmask = fmask | (fk << k)
                 flips_ref[:] = fmask.astype(jnp.int32)
+            elif "cheap_bm" in variant:
+                # ablation: transcendental-free pseudo-noise, same draw
+                # count and op *structure* minus log/sqrt/sin/cos
+                u = _rand_uniform((2, T, Bt), interpret, sbase, 2)
+                noise_ref[0] = u[0] + u[1] - 1.0
+                noise_ref[1] = u[0] - u[1]
             else:
                 # bulk Box-Muller noise for the whole block
                 u = _rand_uniform((2, T, Bt), interpret, sbase, 2)
@@ -387,11 +470,22 @@ def _mc_kernel(trellis: Trellis, T: int, L: int, Bt: int,
                 noise_ref[0] = r * jnp.cos(theta)
                 noise_ref[1] = r * jnp.sin(theta)
 
+        if "static_noise" in variant:
+            gen_data(jnp.int32(0))
+
+        def one_step(step, carry):
+            errs, ferrs = carry
+            if "static_noise" not in variant:
+                gen_data(step)
+
             def fwd(t, fc):
                 metrics, reg = fc
                 bitrow = bits_ref[t].astype(jnp.uint32)
                 reg = (reg >> 1) | (bitrow << (K - 1))
-                esym = esym_of(reg)
+                if "cheap_enc" in variant:
+                    esym = reg & np.uint32(M - 1)  # ablation: no parity
+                else:
+                    esym = esym_of(reg)
                 if hard:
                     dists = hard_dists(esym ^ flips_ref[t].astype(jnp.uint32))
                 else:
@@ -407,12 +501,16 @@ def _mc_kernel(trellis: Trellis, T: int, L: int, Bt: int,
 
             metrics, _ = _fori_unrolled(
                 T, fwd, (init_metrics(), jnp.zeros((Bt,), jnp.uint32)),
-                _TRELLIS_UNROLL)
+                unroll)
             cur = argmin_lanes(metrics)
-            _, err, fe = _fori_unrolled(
-                T, make_tb(bits_ref, dec_ref),
-                (cur, jnp.zeros((Bt,), jnp.int32),
-                 jnp.zeros((Bt,), jnp.int32)), _TRELLIS_UNROLL)
+            if "no_tb" in variant:
+                err = cur.astype(jnp.int32) & 1   # ablation: keep cur live
+                fe = err
+            else:
+                _, err, fe = _fori_unrolled(
+                    T, make_tb(bits_ref, dec_ref),
+                    (cur, jnp.zeros((Bt,), jnp.int32),
+                     jnp.zeros((Bt,), jnp.int32)), unroll)
             return errs + err, ferrs + fe
 
         # dynamic trip count: a large static bound tempts the compiler to
@@ -533,10 +631,18 @@ def _mc_kernel_bulk(trellis: Trellis, T: int, L: int, Bt: int,
     return _with_table_sig(body, use_matmul), nwords
 
 
+#: recognized variant tokens for :func:`mc_chain_viterbi` — the first two
+#: are opt-in statistical-contract performance options, the rest are
+#: measurement-only ablations (tools/mfu_probe.py; statistics invalid)
+_VARIANTS = {"fast_demap", "bf16_acs",
+             "cheap_bm", "static_noise", "cheap_enc", "no_tb"}
+
+
 def mc_chain_viterbi(code: Code, batch: int, nsteps: int, seed, param,
                      channel: str = "awgn", block_lanes: int = 1024,
                      interpret: bool = False, demapper: str = "soft",
-                     bulk_stages: bool = False
+                     bulk_stages: bool = False, variant: str = "",
+                     unroll: int = _TRELLIS_UNROLL
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run ``nsteps`` whole Monte-Carlo steps of the Viterbi chain entirely
     on-chip.  ``channel``: "awgn" (param = sigma, soft decode) or "bsc"
@@ -545,6 +651,13 @@ def mc_chain_viterbi(code: Code, batch: int, nsteps: int, seed, param,
     counters, different op schedule).  Returns per-lane (bit_errors [B],
     frame_errors [B]) int32 counters; total simulated info bits =
     batch * nsteps * block_len.
+
+    ``variant``: comma-separated tokens from ``_VARIANTS`` (loop schedule
+    only).  ``fast_demap``/``bf16_acs`` trade the reference's exact float
+    expressions for fewer/narrower VPU ops — BER equivalence is
+    statistical (z-tested), not bit-exact.  The remaining tokens are
+    measurement-only stage ablations.  ``unroll`` overrides the trellis
+    loop unroll factor (must divide T or it falls back to a plain loop).
     """
     trellis = build_trellis(code)
     T, L = code.num_block_symbols, code.block_length
@@ -552,11 +665,23 @@ def mc_chain_viterbi(code: Code, batch: int, nsteps: int, seed, param,
     Bt = min(block_lanes, batch)
     if batch % Bt:
         raise ValueError(f"batch {batch} not divisible by tile {Bt}")
+    var = frozenset(t for t in variant.split(",") if t)
+    if var - _VARIANTS:
+        raise ValueError(f"unknown variant tokens {sorted(var - _VARIANTS)}")
+    if var and bulk_stages:
+        raise ValueError("variants are loop-schedule only")
     nwords = (trellis.num_states + 31) // 32
     use_matmul = trellis.num_states > _UNROLL_STATES
-    make = _mc_kernel_bulk if bulk_stages else _mc_kernel
-    kernel, _ = make(trellis, T, L, Bt, channel, demapper,
-                     interpret=interpret, use_matmul=use_matmul)
+    if use_matmul and "bf16_acs" in var:
+        raise ValueError("bf16_acs requires the non-matmul ACS path")
+    if bulk_stages:
+        kernel, _ = _mc_kernel_bulk(trellis, T, L, Bt, channel, demapper,
+                                    interpret=interpret,
+                                    use_matmul=use_matmul)
+    else:
+        kernel, _ = _mc_kernel(trellis, T, L, Bt, channel, demapper,
+                               interpret=interpret, use_matmul=use_matmul,
+                               variant=var, unroll=unroll)
     if bulk_stages:
         scratch = [
             pltpu.VMEM((T, Bt), jnp.int32),              # info bits
