@@ -156,7 +156,6 @@ def _fano_mc_kernel(code: Code, T: int, L: int, Bt: int, channel: str,
             threshold = cf_ref[_THRESH]
 
             search = (mode == 0) & jnp.logical_not(mdone)
-            back = (mode == 1) & jnp.logical_not(mdone)
 
             # packed gathers at the current node: one masked reduce per
             # dtype block instead of one per field (op-issue count is what
@@ -204,10 +203,20 @@ def _fano_mc_kernel(code: Code, T: int, L: int, Bt: int, channel: str,
             vf = jnp.stack([ms, bt0, bt1])                      # [3, Bt]
             nf_ref[:] = jnp.where(wf[None, :, :], vf[:, None, :], nf_ref[:])
 
-            # no forward: enter backtrack mode (next micro-step)
+            # no forward: enter backtrack mode
             mode = jnp.where(act & jnp.logical_not(fwd), 1, mode)
 
             # ---- BACKTRACK step (fano-decoder.c:237-264) -----------------
+            # Phase chaining (round 5): ``back`` is computed from the
+            # *post-search* mode, so a search-fail lane runs its first
+            # backtrack step in the SAME micro-step — the composition is
+            # exactly the two sequential reference steps (disjoint from
+            # fwd lanes; cur/sel/threshold unchanged by the search head
+            # for a failed lane), so the walk stays bit-identical while
+            # the dominant quicksand cycle (fail -> relax) costs one
+            # issued op group instead of two.  Counts-equality pinned by
+            # tests/test_fano_mc.py + the hardware probes.
+            back = (mode == 1) & jnp.logical_not(mdone)
             prev_ok = back & (cur > 0)
             mprev = rowmask(jnp.clip(cur - 1, 0, T - 1))
             pm = jnp.sum(jnp.where(mprev, nf_ref[_NMETRIC], 0.0), axis=0)

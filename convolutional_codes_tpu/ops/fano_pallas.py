@@ -134,7 +134,6 @@ def _fano_kernel(code: Code, T: int, Bt: int, soft: bool):
                 threshold = cf_ref[0]
 
                 search = (mode == 0) & jnp.logical_not(done)
-                back = (mode == 1) & jnp.logical_not(done)
 
                 # ---- SEARCH micro-step (fano-decoder.c:183-236) ----------
                 exhausted = search & (timeout == 0)
@@ -189,6 +188,12 @@ def _fano_kernel(code: Code, T: int, Bt: int, soft: bool):
 
                 # ---- BACKTRACK micro-step (fano-decoder.c:237-264) -------
                 # (back lanes did not move above, so m2 is their node mask)
+                # Phase chaining (round 5, see ops/fano_mc.py): ``back``
+                # uses the post-search mode so a search-fail lane runs
+                # its first backtrack step in the same micro-step —
+                # bit-identical walk, half the micro-steps on the
+                # dominant fail->relax cycle.
+                back = (mode == 1) & jnp.logical_not(done)
                 prev_ok = back & (cur > 0)
                 mprev = rowmask(jnp.clip(cur - 1, 0, T - 1))
                 pm = gf(nf_ref[_NMETRIC], mprev)

@@ -233,8 +233,13 @@ CONFIGS = {
     # are the uncoded closed form (tests/test_results_artifacts.py) and
     # the Fano cliff artifact test.
     "uncoded_4": (dict(code="k15-r14-16qam", channel="uncoded"), None, "awgn"),
+    # extra 5/7 dB points resolve the sequential cliff (the default grid
+    # is the reference's 2 dB ladder; the knee sits between 4 and 6 dB —
+    # tests/test_results_artifacts.py::test_fano_16qam_grid_cliff)
     "awgn_fano_16qam": (dict(code="k15-r14-16qam", channel="awgn",
-                             decoder="fano", frames_per_step=16384),
+                             decoder="fano", frames_per_step=16384,
+                             points=(0.0, 2.0, 4.0, 5.0, 6.0, 7.0, 8.0,
+                                     10.0, 12.0, 14.0)),
                         None, "awgn"),
     # Sequential decoders: the FULL published grids (awgn_channel.m:36-78,
     # binary_symmetric_channel.m:17-42) at reference tier sample sizes and
