@@ -272,14 +272,20 @@ def _resolve_code(code_key):
     return code_key if not isinstance(code_key, (int, str)) else get_code(code_key)
 
 
-def _bench_streaming_fused_per_chip(metric, lanes=65536, windows=2,
+def _bench_streaming_fused_per_chip(metric, lanes=131072, windows=4,
                                     snr_db=6.0, calls=3):
     """Per-chip rate of the sequence-parallel FUSED streaming mode
     (parallel/streaming.streaming_mc_accumulate on a 1-device 'seq' mesh):
     each device decodes a distinct time range of the same coded streams
     with locally regenerated halos, so the shard body runs at the fused
     kernel's rate — the number a pod slice scales by along the seq axis
-    (one psum of per-lane counters per call is the only collective)."""
+    (one psum of per-lane counters per call is the only collective).
+    Work shape matches the monolithic `awgn_soft_viterbi_k7_streaming`
+    row so the two are directly comparable: the round-5 2x2 probe
+    (tools/shard_overhead_probe.py) measured the shard_map wrapper at
+    0.4-0.5% and the old (65536, 2) call shape at -9% amortization —
+    the round-4 29% gap was a transient worker degradation, not
+    sharding cost (PERF §3c)."""
     from convolutional_codes_tpu.parallel.mesh import make_mesh
     from convolutional_codes_tpu.parallel.streaming import (
         streaming_mc_accumulate)
