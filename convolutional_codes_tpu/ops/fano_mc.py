@@ -216,7 +216,13 @@ def _fano_mc_kernel(code: Code, T: int, L: int, Bt: int, channel: str,
             # the dominant quicksand cycle (fail -> relax) costs one
             # issued op group instead of two.  Counts-equality pinned by
             # tests/test_fano_mc.py + the hardware probes.
-            back = (mode == 1) & jnp.logical_not(mdone)
+            # (CONVCODES_NO_CHAIN=1 restores the entry-mode mask for A/B
+            # timing — identical counters either way.)
+            from convolutional_codes_tpu.ops.stack_mc import _no_chain
+            if _no_chain():
+                back = (ci_ref[_MODE] == 1) & jnp.logical_not(mdone)
+            else:
+                back = (mode == 1) & jnp.logical_not(mdone)
             prev_ok = back & (cur > 0)
             mprev = rowmask(jnp.clip(cur - 1, 0, T - 1))
             pm = jnp.sum(jnp.where(mprev, nf_ref[_NMETRIC], 0.0), axis=0)

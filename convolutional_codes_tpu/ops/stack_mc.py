@@ -40,6 +40,14 @@ _CI_ROWS = 8
 _REFILL_EVERY = 32
 
 
+def _no_chain() -> bool:
+    """Measurement escape hatch: CONVCODES_NO_CHAIN=1 disables the round-5
+    phase chaining (identical counters, more micro-steps) so A/B timing
+    runs can compare the two steppings inside one session."""
+    import os
+    return bool(os.environ.get("CONVCODES_NO_CHAIN"))
+
+
 def _stack_mc_kernel(code: Code, T: int, L: int, Bt: int, channel: str,
                      demapper: str, nwords: int):
     D = STACK_DEPTH
@@ -103,7 +111,22 @@ def _stack_mc_kernel(code: Code, T: int, L: int, Bt: int, channel: str,
             done = done | finished
             ci_ref[_MDONE] = done.astype(jnp.int32)
 
-            ext = jnp.logical_not(caught) & jnp.logical_not(done)
+            # Phase chaining (round 5, cf. ops/fano_mc.py): a caught lane
+            # advances widx and then — in the reference — re-pops the
+            # SAME best node (the advance mutates nothing else) and
+            # extends it (stack-decoder.c:139,169-170: the while re-enters
+            # with get_most_probable_path on an unchanged stack).  Running
+            # that extension in the same micro-step with the already-
+            # gathered cur/s/m/t is exactly the two sequential reference
+            # iterations, so counts stay bit-identical while the
+            # once-per-accepted-symbol bookkeeping step disappears.
+            # (CONVCODES_NO_CHAIN=1 restores the unchained stepping for
+            # A/B measurement — counters are identical either way.)
+            if _no_chain():
+                ext = jnp.logical_not(caught) & jnp.logical_not(done)
+            else:
+                ext = ((jnp.logical_not(caught) | advance)
+                       & jnp.logical_not(done))
             s = jnp.sum(jnp.where(curmask, st_ref[:], 0),
                         axis=0).astype(jnp.uint32)
             m = jnp.sum(jnp.where(curmask, met2d, 0.0), axis=0)

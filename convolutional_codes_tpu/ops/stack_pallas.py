@@ -134,7 +134,14 @@ def _stack_kernel(code: Code, T: int, Bt: int, soft: bool, nwords: int):
                 ctl_ref[2] = done.astype(jnp.int32)
 
                 # extension action (stack-decoder.c:138-171)
-                ext = jnp.logical_not(caught) & jnp.logical_not(done)
+                # Phase chaining (round 5, see ops/stack_mc.py): a caught
+                # lane's advance mutates nothing but widx, and the
+                # reference then re-pops the SAME best node and extends
+                # it — chaining that extension into this micro-step is
+                # the exact two-iteration composition (bit-identical
+                # counts; interpret + fuzz suites).
+                ext = (jnp.logical_not(caught) | advance) \
+                    & jnp.logical_not(done)
                 s = jnp.sum(jnp.where(curmask, st_ref[:], 0),
                             axis=0).astype(jnp.uint32)
                 m = jnp.sum(jnp.where(curmask, met2d, 0.0), axis=0)
