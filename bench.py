@@ -434,6 +434,35 @@ def bench_all():
     _bench_fano_mc(get_code("k15-r14-16qam").replace(parity=PARITY_COMPAT),
                    "awgn_fano_k15_16qam_compat_vs_c", 14.0, 1.11e6,
                    lanes=1024, fpl=24, parity="compat")
+    # headline variant row: the fast_demap linear-form demapper (PERF
+    # §1b) — statistical contract (z-tested), measured +3.2% over the
+    # bit-exact headline; recorded so the fastest supported configuration
+    # is an artifact, not just a probe log
+    _bench_headline_variant("awgn_soft_viterbi_k3_full_chain_fast_demap",
+                            "fast_demap")
+
+
+def _bench_headline_variant(metric, variant, calls=4):
+    from convolutional_codes_tpu.ops.fused_chain import mc_chain_viterbi
+
+    code = get_code(0)
+    B, nsteps = 1048576, 16
+    sigma = jnp.float32(awgn_sigma(8.0))
+
+    @jax.jit
+    def many(seed):
+        be, fe = mc_chain_viterbi(code, B, nsteps, seed, sigma,
+                                  block_lanes=1024, variant=variant)
+        return be.sum(dtype=jnp.int32)
+
+    _ = int(many(jnp.int32(1)))                    # compile + warm
+    t0 = time.time()
+    errs = [many(jnp.int32(700 + i)) for i in range(calls)]
+    jax.block_until_ready(errs)
+    dt = time.time() - t0
+    bits = B * code.block_length * nsteps * calls
+    _emit(metric, bits, dt, BASELINE_BITS_PER_S,
+          ber=sum(int(e) for e in errs) / bits, variant=variant)
 
 
 def main():
