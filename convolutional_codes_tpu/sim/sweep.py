@@ -456,6 +456,14 @@ def run_sweep(spec: SweepSpec, mesh=None, checkpoint_path: Optional[str] = None,
                     tc = time.time()
                     while left > 0:
                         n = min(chunk, left)
+                        # single-chunk points would record no warm rate
+                        # (chunk 0 pays compile): shrink the cold chunk so
+                        # every point gets a warm split.  MUST stay
+                        # identical to the serial leg below — the chunk
+                        # partition feeds the per-chunk seed derivation
+                        # (counter identity, test_sweep.py).
+                        if ci == 0 and n == nsteps and n > 1:
+                            n = max(1, n // 8)
                         if use_fused:
                             # replicate fused_mc_accumulate's seed derivation
                             # exactly (counter identity with the serial path)
@@ -588,6 +596,10 @@ def run_sweep(spec: SweepSpec, mesh=None, checkpoint_path: Optional[str] = None,
             tc = time.time()
             while left > 0:
                 n = min(chunk, left)
+                # small cold chunk for single-chunk points (see the grid
+                # leg above — the partitions must match exactly)
+                if ci == 0 and n == nsteps and n > 1:
+                    n = max(1, n // 8)
                 if seq_host:
                     cbe, cfe, cnb = _sequential_host_accumulate(
                         code, spec, param, n, pkey, ci)

@@ -15,9 +15,17 @@ from convolutional_codes_tpu.sim.sweep import (
 from convolutional_codes_tpu.utils.records import octave_rows, write_jsonl
 
 
-def binomial_ok(errors, bits, p_expected, z=4.0):
-    """|observed - expected| within z sigma of the binomial count."""
-    sigma = np.sqrt(bits * p_expected * (1 - p_expected))
+def binomial_ok(errors, bits, p_expected, z=4.0, frame_errors=0):
+    """|observed - expected| within z sigma of the binomial count.
+
+    Decoded-BER checks pass ``frame_errors``: decoder bit errors arrive
+    in per-frame bursts (~6-14 bits/event for these points), so the
+    binomial variance is inflated by the bits-per-event cluster factor
+    (CLAUDE.md correctness invariants; same model as
+    tools/reproduce_curves.py).  The raw-binomial form remains for
+    memoryless channels (uncoded, channel-level checks)."""
+    cluster = max(1.0, errors / frame_errors) if frame_errors else 1.0
+    sigma = np.sqrt(cluster * bits * p_expected * (1 - p_expected))
     return abs(errors - bits * p_expected) <= z * sigma + 1
 
 
@@ -39,7 +47,8 @@ def test_bsc_golden_point_statistical():
                      points=[0.0125], frames_per_step=2048,
                      bits_per_point=2e6, seed=123)
     (r,) = run_sweep(spec, verbose=False)
-    assert binomial_ok(r.bit_errors, r.bits, 9.545e-3), r.ber
+    assert binomial_ok(r.bit_errors, r.bits, 9.545e-3,
+                       frame_errors=r.frame_errors), r.ber
 
 
 def test_uncoded_qpsk_closed_form():
@@ -60,7 +69,8 @@ def test_sharded_sweep_matches_unsharded_scale():
                      bits_per_point=8 * 256 * 40 * 4, seed=7)
     (r,) = run_sweep(spec, mesh=mesh, verbose=False)
     assert r.bits == 8 * 256 * 40 * 4
-    assert binomial_ok(r.bit_errors, r.bits, 0.1208)
+    assert binomial_ok(r.bit_errors, r.bits, 0.1208,
+                       frame_errors=r.frame_errors)
 
 
 def test_sweep_grid_two_axis_mesh():
