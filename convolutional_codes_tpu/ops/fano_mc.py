@@ -315,12 +315,29 @@ def _fano_mc_kernel(code: Code, T: int, L: int, Bt: int, channel: str,
             ci_ref[_FDONE] = fdone
             ci_ref[_ALLDN] = (fdone >= fpl).astype(jnp.int32)
 
-        def chunk(_i, _c):
-            # fire the refill for any lane that finished a frame (bank
-            # pending) or has budget left to start one — incl. the very
-            # first fill (init state is mdone=1, banked=1, fdone=0)
-            pend = (ci_ref[_MDONE] > 0) & (ci_ref[_FDONE] < fpl)
-            @pl.when(jnp.any(pend))
+        from convolutional_codes_tpu.ops.stack_mc import (
+            _REFILL_WAIT, _refill_gate_div)
+        gd = _refill_gate_div(soft, M)
+
+        def chunk(_i, since):
+            # fire the refill once enough lanes finished a frame (bank
+            # pending) or have budget left to start one — incl. the very
+            # first fill (init state is mdone=1, banked=1, fdone=0).
+            # Batched gate (stack_mc._refill_gate_div): for fat-datagen
+            # configs (soft M>=8) the full-width datagen only fires once
+            # >= active/div lanes wait (bounded by _REFILL_WAIT chunks),
+            # so it stops regenerating the whole tile to serve one lane;
+            # counters bit-identical for any divisor.  ``since`` rides
+            # the fori_loop carry: chunks since the last refill fired.
+            att = (ci_ref[_MDONE] > 0) & (ci_ref[_ALLDN] == 0)
+            if gd <= 1:
+                fire = jnp.any(att)
+            else:
+                natt = jnp.sum(att.astype(jnp.int32))
+                nact = jnp.sum((ci_ref[_ALLDN] == 0).astype(jnp.int32))
+                fire = (natt > 0) & ((natt * gd >= nact)
+                                     | (since >= _REFILL_WAIT))
+            @pl.when(fire)
             def _():
                 refill()
 
@@ -328,7 +345,7 @@ def _fano_mc_kernel(code: Code, T: int, L: int, Bt: int, channel: str,
             def _():
                 for _ in range(_REFILL_EVERY):
                     micro()
-            return _c
+            return jnp.where(fire, 0, since + 1)
 
         jax.lax.fori_loop(0, iters_ref[0] // _REFILL_EVERY, chunk, 0)
 

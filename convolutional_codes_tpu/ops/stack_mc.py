@@ -48,6 +48,39 @@ def _no_chain() -> bool:
     return bool(os.environ.get("CONVCODES_NO_CHAIN"))
 
 
+#: bounded wait for the batched refill gate: even when fewer than
+#: active/div lanes are idle, fire at least every this many 32-step
+#: chunks once anybody waits — caps the idle-slot cost at rare-finish
+#: operating points (timeout-bound cliffs) where the ratio alone would
+#: strand a finished lane for a large fraction of a walk
+_REFILL_WAIT = 4
+
+
+def _refill_gate_div(soft: bool, M: int) -> int:
+    """Batched refill gate divisor (round 5): the refill block — a
+    full-width datagen over every lane — fires only once the number of
+    idle finished lanes reaches ``1/div`` of the tile's still-active
+    lanes (or ``_REFILL_WAIT`` chunks pass), instead of whenever ANY
+    lane pends.  Measured A/B (tools/refill_gate_probe.py): batching
+    pays only where the datagen is fat relative to the micro-step —
+    the M>=8 soft constellations, whose M distance planes + select
+    chains make a refill cost ~tens of micro-steps (K=15 + 16-QAM @
+    8 dB: +27%) — while at M=4 the datagen is ~1-2 micro-steps' worth
+    and the idle-slot cost of waiting for a batch dominates (k3 @
+    0-6 dB: -4..-8%).  So the divisor is config-static: 8 for soft
+    M>=8, else 1 (the original any-lane gate).  Deadlock-free: when
+    every active lane waits, the ratio is 1 >= 1/div.  Counters are
+    bit-identical for any divisor (datagen is addressed by (lane,
+    frame-id), never by time — ops/mc_datagen).  CONVCODES_REFILL_GATE
+    overrides the auto choice (<= 1 forces the any-lane gate) for A/B
+    timing."""
+    import os
+    v = os.environ.get("CONVCODES_REFILL_GATE")
+    if v:
+        return int(v)
+    return 8 if (soft and M >= 8) else 1
+
+
 def _stack_mc_kernel(code: Code, T: int, L: int, Bt: int, channel: str,
                      demapper: str, nwords: int):
     D = STACK_DEPTH
@@ -251,9 +284,24 @@ def _stack_mc_kernel(code: Code, T: int, L: int, Bt: int, channel: str,
             ci_ref[_FDONE] = fdone
             ci_ref[_ALLDN] = (fdone >= fpl).astype(jnp.int32)
 
-        def chunk(_i, _c):
-            pend = (ci_ref[_MDONE] > 0) & (ci_ref[_FDONE] < fpl)
-            @pl.when(jnp.any(pend))
+        gd = _refill_gate_div(soft, M)
+
+        def chunk(_i, since):
+            # batched gate (_refill_gate_div): serve finished lanes in
+            # batches of >= active/div (bounded by _REFILL_WAIT chunks)
+            # instead of one-at-a-time, so the full-width datagen
+            # amortizes; identical counters (the datagen is (lane,
+            # frame-id)-addressed, not time-addressed).  ``since`` rides
+            # the fori_loop carry: chunks since the last refill fired.
+            att = (ci_ref[_MDONE] > 0) & (ci_ref[_ALLDN] == 0)
+            if gd <= 1:
+                fire = jnp.any(att)
+            else:
+                natt = jnp.sum(att.astype(jnp.int32))
+                nact = jnp.sum((ci_ref[_ALLDN] == 0).astype(jnp.int32))
+                fire = (natt > 0) & ((natt * gd >= nact)
+                                     | (since >= _REFILL_WAIT))
+            @pl.when(fire)
             def _():
                 refill()
 
@@ -261,7 +309,7 @@ def _stack_mc_kernel(code: Code, T: int, L: int, Bt: int, channel: str,
             def _():
                 for _ in range(_REFILL_EVERY):
                     micro()
-            return _c
+            return jnp.where(fire, 0, since + 1)
 
         jax.lax.fori_loop(0, iters_ref[0] // _REFILL_EVERY, chunk, 0)
 
