@@ -316,7 +316,7 @@ def _bench_fano_mc(code_key, metric, snr_db, baseline, lanes=1024, fpl=64,
 
     code = _resolve_code(code_key)
     param = float(awgn_sigma(snr_db))
-    mc_fano(code, lanes, fpl, 1, param, block_lanes=128,
+    mc_fano(code, lanes, max(1, fpl // 8), 1, param, block_lanes=128,
             timeout_per_bit=timeout)                       # compile + warm
     t0 = time.time()
     be, fe, nb = mc_fano(code, lanes, fpl, 4242, param, block_lanes=128,
@@ -334,7 +334,7 @@ def _bench_stack_mc(code_key, metric, snr_db, baseline, lanes=1024, fpl=64,
 
     code = _resolve_code(code_key)
     param = float(awgn_sigma(snr_db))
-    mc_stack(code, lanes, fpl, 1, param)       # compile + warm (auto tile)
+    mc_stack(code, lanes, max(1, fpl // 8), 1, param)  # compile + warm (auto tile)
     t0 = time.time()
     be, fe, nb = mc_stack(code, lanes, fpl, 4242, param)
     dt = time.time() - t0
@@ -415,22 +415,24 @@ def bench_all():
     from convolutional_codes_tpu.models.codebook import PARITY_COMPAT
 
     # config 3: stack on K=9, AWGN soft — production MC kernel path
-    _bench_stack_mc("k9-r12", "awgn_stack_k9_soft", 8.0, None, fpl=192)
+    _bench_stack_mc("k9-r12", "awgn_stack_k9_soft", 8.0, None, lanes=4096,
+                    fpl=2048)
     _bench_stack_mc(get_code("k9-r12").replace(parity=PARITY_COMPAT),
-                    "awgn_stack_k9_soft_compat_vs_c", 8.0, 3.96e5, fpl=64,
-                    parity="compat")
+                    "awgn_stack_k9_soft_compat_vs_c", 8.0, 3.96e5,
+                    lanes=4096, fpl=128, parity="compat")
     # flagship-code sequential rows (code 0 is quirk-free: compat == true)
-    _bench_stack_mc(0, "awgn_stack_k3_soft", 8.0, 4.12e6, fpl=256)
+    _bench_stack_mc(0, "awgn_stack_k3_soft", 8.0, 4.12e6, lanes=4096,
+                    fpl=4096)
     # pool-path stack row kept for the measured MC-vs-pool comparison
     _bench_seq(0, "stack", "awgn_stack_k3_soft_pool", 8.0, 4.12e6)
-    _bench_fano_mc(0, "awgn_fano_k3_soft", 8.0, 7.22e5, lanes=1024, fpl=128)
+    _bench_fano_mc(0, "awgn_fano_k3_soft", 8.0, 7.22e5, lanes=1024, fpl=512)
     # config 4: fano on K=15 + 16-QAM soft demapper via the MC kernel
     # (production path since round 4: 7.4e7 bits/s @ 14 dB vs the pool's
     # 5.6e6 — the round-3 pool preference was an artifact of the mistuned
     # weight).  The compat twin runs the quirk-rewired code the C binary
     # simulates (heavy-tailed walks, BER 1.2e-2 at 14 dB).
     _bench_fano_mc("k15-r14-16qam", "awgn_fano_k15_16qam", 14.0, None,
-                   lanes=1024, fpl=96)
+                   lanes=1024, fpl=2048)
     _bench_fano_mc(get_code("k15-r14-16qam").replace(parity=PARITY_COMPAT),
                    "awgn_fano_k15_16qam_compat_vs_c", 14.0, 1.11e6,
                    lanes=1024, fpl=24, parity="compat")
