@@ -36,6 +36,11 @@ CASES = [
     ("fano_k15_16qam_14db", "fano", "k15-r14-16qam", 14.0, 1024, 2048, 128),
     ("stack_k3_8db", "stack", 0, 8.0, 4096, 4096, 0),
     ("stack_k9_8db", "stack", 3, 8.0, 4096, 2048, 0),
+    # code 5 (rate-1/3, 8-QAM, M=8): the smallest constellation the
+    # auto rule batches — probed so the M>=8 threshold is measured,
+    # not assumed, at both production decoders
+    ("fano_k3r13_8db", "fano", 5, 8.0, 1024, 1024, 128),
+    ("stack_k3r13_8db", "stack", 5, 8.0, 4096, 2048, 0),
 ]
 
 
