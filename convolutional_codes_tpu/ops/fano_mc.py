@@ -52,9 +52,11 @@ _NSTATE, _SUCC0, _SUCC1, _SELECTED, _DECODED = range(5)
 #: f32 node-array planes [3, T, B]
 _NMETRIC, _TM0, _TM1 = range(3)
 
-#: micro-steps between refill checks: finished lanes idle at most this
-#: long (a few % of a typical frame walk); the refill block itself is gated
-#: on "any lane needs it", so quiet chunks cost one scalar test
+#: micro-steps between refill checks; the refill block itself is gated
+#: per chunk (stack_mc._refill_gate_div: any-lane for cheap datagen,
+#: batched >= active/8 with a 4-chunk wait bound for soft M>=8), so a
+#: finished lane idles at most a few chunks and quiet chunks cost two
+#: scalar reduces
 _REFILL_EVERY = 32
 
 _FMAX = np.float32(3.4028235e38)

@@ -33,3 +33,20 @@ def goldens_dir():
 
 def load_golden(name):
     return np.load(os.path.join(GOLDENS, name))
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop JAX's in-process executable caches after each test module.
+
+    One long pytest process accumulates hundreds of compiled CPU
+    executables (the interpret-mode Pallas suites especially); on this
+    box jax 0.9's CPU backend segfaults inside LLVM
+    (backend_compile_and_load) late in the full-suite run once that
+    state piles up — observed twice on 2026-08-21 at
+    test_viterbi.py::test_noiseless_roundtrip while the same file and
+    the suite tail pass in isolation.  Clearing per module bounds the
+    accumulation; cross-module executable reuse is minimal, so the
+    runtime cost is small."""
+    yield
+    jax.clear_caches()
